@@ -1,0 +1,11 @@
+"""Optimisation engine: the chunked-scan DIP solver and histories."""
+from .history import History, HistoryReg
+from .solver import (DIPSolver, SolveResult, StepSettings, build_base_input,
+                     build_data, init_carry, make_run_chunk, pad_multiple_for,
+                     padded_spatial)
+
+__all__ = [
+    "History", "HistoryReg", "DIPSolver", "SolveResult", "StepSettings",
+    "build_base_input", "build_data", "init_carry", "make_run_chunk",
+    "pad_multiple_for", "padded_spatial",
+]

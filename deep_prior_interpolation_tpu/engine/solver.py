@@ -1,0 +1,436 @@
+"""The DIP solver: per-patch optimisation as a jitted, chunked ``lax.scan``.
+
+This is the TPU-native re-design of the reference optimisation drivers
+(/root/reference/main.py:141-220 and main_pocs.py:160-254). The reference
+runs a Python epoch loop with per-iteration host syncs (``.item()`` metric
+reads, ``torch_to_np`` best-output copies, main.py:165-182). Here the whole
+loop state — params, Adam moments, RNG key, best-loss output volume, LR
+scheduler and early-stopping counters — lives in the scan carry in HBM and is
+read back once per chunk, so the hot loop is a single fused XLA program.
+
+Feature parity in the step:
+  * fresh input noise every iteration (main.py:148-150)
+  * optional parameter noise (main.py:143-145; implemented *working* — the
+    reference rebinds a loop variable so its version is a no-op)
+  * data-forgetting input ramp (main.py:152-155)
+  * masked L1/L2 data fit (main.py:161)
+  * optional POCS self-distillation term with adaptive eps
+    (main_pocs.py:180-195). NOTE the reference's ``eps.detach()`` at
+    main_pocs.py:190 is a no-op (the detached copy is discarded), which
+    makes the adaptive-eps regulariser contribute exactly zero gradient;
+    we apply ``stop_gradient`` to eps, i.e. the published intent.
+  * SNR / Pearson metrics vs the full target each iteration (main.py:166-167)
+  * best-loss output tracking with ``<=`` (main.py:173-182)
+  * ReduceLROnPlateau semantics (rel threshold, factor, patience;
+    main.py:201-204) as pure carry arithmetic
+  * EarlyStopping with percentage min-delta + NaN abort
+    (utils/torch.py:216-275) — realised as a ``done`` flag; the host driver
+    breaks out between chunks.
+
+Early stopping, plateau LR and epoch-count truncation are all expressed as
+``done``-masked updates so the same compiled program serves every chunk, and
+the same step function vmaps/shard_maps over a batch of patches (see
+``deep_prior_interpolation_tpu.parallel``).
+"""
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models import get_net, init_weights
+from ..ops import losses as L
+from ..ops.noise import build_forgetting_data, data_forgetting_weights, get_noise
+from ..ops.pocs import fk_projection
+from .history import History, HistoryReg
+
+
+# ----------------------------------------------------------------------
+# static step settings (hashable; part of the jit cache key)
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class StepSettings:
+    loss: str = "mae"
+    epochs: int = 2001
+    lr: float = 1e-3
+    reduce_lr: bool = False
+    lr_factor: float = 0.9
+    lr_thresh: float = 1e-5
+    lr_patience: int = 100
+    es_patience: int = 2001
+    es_min_delta: float = 1.0
+    reg_noise_std: float = 0.03
+    param_noise: bool = False
+    dropout: float = 0.0
+    forget_factor: int = 0
+    pocs: bool = False
+    pocs_thresh: float = 5.0
+    pocs_weight: Optional[float] = None
+    track_last: bool = False
+    orig_spatial: Tuple[int, ...] = ()
+
+    @classmethod
+    def from_config(cls, cfg: Config, orig_spatial: Tuple[int, ...],
+                    track_last: bool = False) -> "StepSettings":
+        return cls(loss=cfg.loss, epochs=cfg.epochs, lr=cfg.lr,
+                   reduce_lr=cfg.reduce_lr, lr_factor=cfg.lr_factor,
+                   lr_thresh=cfg.lr_thresh, lr_patience=cfg.lr_patience,
+                   es_patience=int(cfg.earlystop_patience or cfg.epochs),
+                   es_min_delta=cfg.earlystop_min_delta,
+                   reg_noise_std=cfg.reg_noise_std,
+                   param_noise=cfg.param_noise, dropout=cfg.dropout,
+                   forget_factor=cfg.data_forgetting_factor,
+                   pocs=cfg.pocs, pocs_thresh=cfg.pocs_thresh,
+                   pocs_weight=cfg.pocs_weight, track_last=track_last,
+                   orig_spatial=tuple(orig_spatial))
+
+
+def _crop_center(x: jnp.ndarray, spatial: Tuple[int, ...]) -> jnp.ndarray:
+    """Crop a batched channels-last array back to the unpadded region."""
+    slices = [slice(None)]
+    for dim, tgt in zip(x.shape[1:-1], spatial):
+        d = (dim - tgt) // 2
+        slices.append(slice(d, d + tgt))
+    slices.append(slice(None))
+    return x[tuple(slices)]
+
+
+def _mask_tree(done, new, old):
+    """Pick ``old`` wherever the patch is done (freeze state after stop)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(done, o, n), new, old)
+
+
+# ----------------------------------------------------------------------
+# the scanned step
+# ----------------------------------------------------------------------
+
+def make_run_chunk(model, s: StepSettings) -> Callable:
+    """Build ``run_chunk(carry, iters, data) -> (carry, ys)``.
+
+    ``data`` holds the per-patch tensors: ``img``/``mask`` (batched
+    channels-last, original unpadded spatial size), ``base_input`` (padded
+    noise canvas), and optional ``forget_data``/``forget_w``. Pure function —
+    jit/vmap/shard_map at will.
+    """
+    loss_fn = L.get_loss_fn(s.loss)
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+    def step(data, carry, it):
+        key, k_noise, k_param, k_drop = jax.random.split(carry["key"], 4)
+        inp = data["base_input"]
+        if s.reg_noise_std > 0:
+            inp = inp + s.reg_noise_std * jax.random.normal(
+                k_noise, inp.shape, inp.dtype)
+        if s.forget_factor > 0:
+            idx = jnp.minimum(it, s.forget_factor - 1)
+            w = jnp.where(it < s.forget_factor, data["forget_w"][idx], 0.0)
+            inp = inp + w * data["forget_data"]
+
+        params = carry["params"]
+        if s.param_noise:
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            pkeys = jax.random.split(k_param, len(leaves))
+            leaves = [p + jax.random.normal(k, p.shape, p.dtype) * jnp.std(p) * 0.02
+                      if p.ndim >= 4 else p for p, k in zip(leaves, pkeys)]
+            params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        img, mask = data["img"], data["mask"]
+
+        def loss_of(p):
+            rngs = {"dropout": k_drop} if s.dropout > 0 else None
+            out = model.apply({"params": p}, inp, rngs=rngs)
+            out = _crop_center(out, s.orig_spatial)
+            main = loss_fn(out, img, mask)
+            if s.pocs:
+                proj = jax.lax.stop_gradient(
+                    fk_projection(out, data["pocs_wdata"], data["pocs_wmask"],
+                                  s.pocs_thresh))
+                reg = L.mse(out, proj)
+                if s.pocs_weight is None:
+                    eps = jax.lax.stop_gradient(main / reg)
+                else:
+                    eps = jnp.asarray(s.pocs_weight, main.dtype)
+                total = main + eps * reg
+            else:
+                reg = jnp.zeros_like(main)
+                eps = jnp.zeros_like(main)
+                total = main
+            return total, (out, main, reg, eps)
+
+        (loss, (out, main, reg, eps)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+
+        direction, opt_state = adam.update(grads, carry["opt_state"], params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, d: p - carry["lr"] * d, params, direction)
+
+        snr_v = L.snr(out, img)
+        pcorr_v = L.pcorr(out, img)
+
+        done = carry["done"]
+        better = (loss <= carry["loss_min"]) & ~done
+        out_best = jnp.where(better, out, carry["out_best"])
+        loss_min = jnp.where(better, loss, carry["loss_min"])
+
+        # --- ReduceLROnPlateau (torch rel-threshold min mode) ---
+        lr = carry["lr"]
+        if s.reduce_lr:
+            pb, pbad = carry["plateau_best"], carry["plateau_bad"]
+            is_b = loss < pb * (1.0 - s.lr_thresh)
+            pb = jnp.where(is_b, loss, pb)
+            pbad = jnp.where(is_b, 0, pbad + 1)
+            reduce = pbad > s.lr_patience
+            new_lr = lr * s.lr_factor
+            lr = jnp.where(reduce & (lr - new_lr > 1e-8), new_lr, lr)
+            pbad = jnp.where(reduce, 0, pbad)
+            pb = jnp.where(done, carry["plateau_best"], pb)
+            pbad = jnp.where(done, carry["plateau_bad"], pbad)
+            lr = jnp.where(done, carry["lr"], lr)
+        else:
+            pb, pbad = carry["plateau_best"], carry["plateau_bad"]
+
+        # --- EarlyStopping (percentage min-delta, NaN abort) ---
+        eb, ebad = carry["es_best"], carry["es_bad"]
+        first = it == 0
+        if s.es_patience > 0:
+            is_b = loss < eb - eb * s.es_min_delta / 100.0
+            eb2 = jnp.where(first, loss, jnp.where(is_b, loss, eb))
+            ebad2 = jnp.where(first | is_b, 0, ebad + 1)
+            stop = ~first & (ebad2 >= s.es_patience)
+        else:  # patience 0 disables stopping (utils/torch.py:238-240)
+            eb2, ebad2, stop = jnp.where(first, loss, eb), ebad, False
+        nan_stop = jnp.isnan(loss)
+        eb = jnp.where(done, eb, eb2)
+        ebad = jnp.where(done, ebad, ebad2)
+        new_done = done | stop | nan_stop | (it + 1 >= s.epochs)
+
+        new_carry = {
+            "params": _mask_tree(done, new_params, carry["params"]),
+            "opt_state": _mask_tree(done, opt_state, carry["opt_state"]),
+            "key": key,
+            "lr": lr,
+            "loss_min": loss_min,
+            "out_best": out_best,
+            "plateau_best": pb,
+            "plateau_bad": pbad,
+            "es_best": eb,
+            "es_bad": ebad,
+            "done": new_done,
+        }
+        if s.track_last:
+            new_carry["out_last"] = jnp.where(done, carry["out_last"], out)
+
+        ys = {"loss": loss, "snr": snr_v, "pcorr": pcorr_v, "lr": carry["lr"],
+              "recorded": ~done}
+        if s.pocs:
+            ys.update({"df": main, "reg": reg, "eps": eps})
+        return new_carry, ys
+
+    def run_chunk(carry, iters, data):
+        return jax.lax.scan(partial(step, data), carry, iters)
+
+    return run_chunk
+
+
+# ----------------------------------------------------------------------
+# carry / data construction helpers (shared with the parallel layer)
+# ----------------------------------------------------------------------
+
+def pad_multiple_for(cfg: Config) -> int:
+    if cfg.pad_multiple and cfg.pad_multiple > 0:
+        return cfg.pad_multiple
+    return 2 ** (len(cfg.filters) - 1)
+
+
+def padded_spatial(spatial: Tuple[int, ...], mult: int) -> Tuple[int, ...]:
+    return tuple(int(math.ceil(d / mult)) * mult for d in spatial)
+
+
+def init_carry(model, s: StepSettings, cfg: Config, key: jax.Array,
+               input_shape: Tuple[int, ...], out_channels: int,
+               init_params=None, dtype=jnp.float32) -> Dict[str, Any]:
+    """Fresh solver carry: params (+ chosen init), Adam state, trackers."""
+    k_init, k_winit, key = jax.random.split(key, 3)
+    if init_params is None:
+        dummy = jnp.zeros(input_shape, dtype)
+        variables = model.init({"params": k_init, "dropout": k_init}, dummy)
+        params = variables["params"]
+        params = init_weights(params, k_winit, cfg.inittype, cfg.initgain)
+    else:
+        params = init_params
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = adam.init(params)
+    out_shape = (input_shape[0],) + tuple(s.orig_spatial) + (out_channels,)
+    carry = {
+        "params": params,
+        "opt_state": opt_state,
+        "key": key,
+        "lr": jnp.asarray(cfg.lr, jnp.float32),
+        "loss_min": jnp.asarray(jnp.inf, jnp.float32),
+        "out_best": jnp.zeros(out_shape, dtype),
+        "plateau_best": jnp.asarray(jnp.inf, jnp.float32),
+        "plateau_bad": jnp.asarray(0, jnp.int32),
+        "es_best": jnp.asarray(0.0, jnp.float32),
+        "es_bad": jnp.asarray(0, jnp.int32),
+        "done": jnp.asarray(False),
+    }
+    if s.track_last:
+        carry["out_last"] = jnp.zeros(out_shape, dtype)
+    return carry
+
+
+def build_base_input(cfg: Config, key: jax.Array, padded: Tuple[int, ...],
+                     dtype=jnp.float32,
+                     wavelet: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """The fixed input noise canvas (main.py:59-99), shape (1, *padded, D).
+
+    Optional shaping: 1-D wavelet convolution along time (main.py:66-72) and
+    4th-order Butterworth low-pass (main.py:74-84), both along the first
+    spatial axis.
+    """
+    noise = get_noise(key, (1,) + tuple(padded) + (cfg.inputdepth,),
+                      cfg.noise_dist, dtype)
+    inp = noise * cfg.noise_std
+    if cfg.filter_noise_with_wavelet and wavelet is not None:
+        from ..ops.filters import convolve_kernel_1d
+        inp = convolve_kernel_1d(inp, jnp.asarray(wavelet, dtype), axis=1)
+    if cfg.lowpass_fs and cfg.lowpass_fc:
+        from ..ops.filters import lowpass_butterworth_taps
+        from ..ops.filters import convolve_kernel_1d
+        from ..utils.generic import nextpow2
+        taps = lowpass_butterworth_taps(
+            fc=cfg.lowpass_fc, fs=cfg.lowpass_fs, ntaps=cfg.lowpass_ntaps,
+            order=4, nfft=2 ** nextpow2(padded[0]))
+        inp = convolve_kernel_1d(inp, jnp.asarray(taps, dtype), axis=1)
+    return inp
+
+
+def build_data(cfg: Config, s: StepSettings, img: np.ndarray, mask: np.ndarray,
+               base_input: jnp.ndarray, dtype=jnp.float32) -> Dict[str, Any]:
+    """Assemble the per-patch data dict consumed by ``run_chunk``."""
+    img_ = jnp.asarray(img, dtype)[None]   # (1, *spatial, C)
+    mask_ = jnp.asarray(mask, dtype)[None]
+    data = {"img": img_, "mask": mask_, "base_input": base_input}
+    if s.forget_factor > 0:
+        fd = build_forgetting_data(img_ * mask_, cfg.inputdepth)
+        fd = fd * (jnp.std(base_input) / jnp.std(fd))
+        # place on the padded canvas
+        pads = [(0, 0)]
+        for dim, tgt in zip(fd.shape[1:-1], base_input.shape[1:-1]):
+            d = (tgt - dim) // 2
+            pads.append((d, tgt - dim - d))
+        pads.append((0, 0))
+        data["forget_data"] = jnp.pad(fd, pads)
+        data["forget_w"] = jnp.asarray(data_forgetting_weights(s.forget_factor))
+    if s.pocs:
+        coarse = img_ * mask_
+        data["pocs_wdata"] = cfg.pocs_alpha * coarse
+        data["pocs_wmask"] = jnp.ones_like(mask_) - cfg.pocs_alpha * mask_
+    return data
+
+
+# ----------------------------------------------------------------------
+# result container + host driver
+# ----------------------------------------------------------------------
+
+@dataclass
+class SolveResult:
+    out_best: np.ndarray          # (*spatial, C), best-loss network output
+    history: History
+    params: Any
+    elapsed: float
+    iters_run: int
+    stopped_early: bool
+    snapshots: Dict[int, np.ndarray]
+
+
+class DIPSolver:
+    """Single-patch DIP solver (capability parity: main.py Interpolator).
+
+    Usage::
+
+        solver = DIPSolver(cfg, outchannel=1)
+        result = solver.solve(img, mask, seed=0)   # img/mask (*spatial, C)
+    """
+
+    def __init__(self, cfg: Config, outchannel: int = 1, model=None):
+        self.cfg = cfg
+        self.outchannel = outchannel
+        self.model = model if model is not None else get_net(cfg, outchannel)
+        self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self._jitted: Dict[Any, Callable] = {}
+
+    # -- internals -----------------------------------------------------
+    def _get_run_chunk(self, s: StepSettings) -> Callable:
+        if s not in self._jitted:
+            self._jitted[s] = jax.jit(make_run_chunk(self.model, s),
+                                      donate_argnums=0)
+        return self._jitted[s]
+
+    # -- public --------------------------------------------------------
+    def solve(self, img: np.ndarray, mask: np.ndarray, seed: int = 0,
+              init_params=None, key: Optional[jax.Array] = None,
+              verbose: bool = False) -> SolveResult:
+        cfg = self.cfg
+        assert img.shape == mask.shape, "image and mask shapes must match"
+        spatial = tuple(img.shape[:-1])
+        mult = pad_multiple_for(cfg)
+        padded = padded_spatial(spatial, mult)
+
+        save_every = cfg.save_every
+        s = StepSettings.from_config(cfg, spatial, track_last=save_every is not None)
+        run_chunk = self._get_run_chunk(s)
+
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        k_noise, k_model, key = jax.random.split(key, 3)
+
+        base_input = build_base_input(cfg, k_noise, padded, self.dtype)
+        data = build_data(cfg, s, img, mask, base_input, self.dtype)
+        carry = init_carry(self.model, s, cfg, k_model, base_input.shape,
+                           self.outchannel, init_params, self.dtype)
+
+        chunk = max(1, min(cfg.scan_chunk, cfg.epochs))
+        if save_every:
+            chunk = math.gcd(chunk, int(save_every)) or 1
+        n_chunks = math.ceil(cfg.epochs / chunk)
+
+        hist = HistoryReg(cfg.epochs) if s.pocs else History(cfg.epochs)
+        snapshots: Dict[int, np.ndarray] = {}
+        start = time.time()
+        iters_run = 0
+        stopped = False
+        for c in range(n_chunks):
+            iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
+            carry, ys = run_chunk(carry, iters, data)
+            ys = jax.device_get(ys)
+            n_rec = int(np.sum(ys["recorded"]))
+            n_rec = min(n_rec, cfg.epochs - iters_run)
+            hist.extend(ys, n_rec)
+            iters_run += n_rec
+            if verbose and n_rec:
+                print(hist.log_message(iters_run - 1), end="\r")
+            end_iter = (c + 1) * chunk
+            if save_every and end_iter % save_every == 0 and end_iter < cfg.epochs:
+                snapshots[end_iter] = np.asarray(
+                    jax.device_get(carry["out_last"])[0], np.float32)
+            if bool(jax.device_get(carry["done"])):
+                stopped = iters_run < cfg.epochs
+                break
+        elapsed = time.time() - start
+
+        out_best = np.asarray(jax.device_get(carry["out_best"])[0], np.float32)
+        return SolveResult(out_best=out_best, history=hist,
+                           params=carry["params"], elapsed=elapsed,
+                           iters_run=iters_run, stopped_early=stopped,
+                           snapshots=snapshots)

@@ -1,0 +1,51 @@
+"""Model zoo and factory.
+
+``get_net(cfg, outchannel)`` mirrors the reference factory semantics
+(/root/reference/architectures/__init__.py:10-86) minus its latent defects:
+the 2D 'unet' branch resolves to a working U-Net (the reference calls the
+undefined ``UNetMod``, architectures/__init__.py:13) and 'skip' is reachable
+in both 2D and 3D.
+"""
+from __future__ import annotations
+
+from ..config import Config
+from .blocks import (Conv, ConvNormAct, Dropout, Norm, concat_crop,
+                     get_activation, lanczos_downsample, upsample)
+from .init import init_weights
+from .mulresunet import MulResUnet, MultiResBlock, ResPath, multires_width
+
+__all__ = [
+    "get_net", "init_weights", "MulResUnet", "MultiResBlock", "ResPath",
+    "multires_width", "Conv", "ConvNormAct", "Norm", "Dropout",
+    "concat_crop", "get_activation", "upsample", "lanczos_downsample",
+]
+
+
+def get_net(cfg: Config, outchannel: int = 1):
+    """Map (datadim, net) -> a flax module (architectures/__init__.py:10-86)."""
+    ndim = cfg.ndim_model
+    name = cfg.net
+    common = dict(out_channels=outchannel, ndim=ndim,
+                  act=cfg.activation, last_act=cfg.last_activation,
+                  use_bias=True, upsample_mode=cfg.upsample,
+                  dropout=cfg.dropout)
+
+    if name in ("multiunet", "load"):
+        return MulResUnet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)
+    if name == "skip":
+        from .skip import SkipNet
+        return SkipNet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)
+    if name == "attmultiunet":
+        if ndim != 2:
+            raise ValueError("attmultiunet is 2D-only (architectures/attention.py:197)")
+        from .attention import AttMulResUnet
+        return AttMulResUnet(filters=tuple(cfg.filters), **common)
+    if name == "part":
+        from .partial import PartialUNet
+        common.pop("upsample_mode")
+        common.pop("last_act")
+        return PartialUNet(**common)
+    if name == "unet":
+        from .unet import UNet
+        return UNet(filters=tuple(cfg.filters), **common)
+    raise ValueError(f"unknown net '{name}'")

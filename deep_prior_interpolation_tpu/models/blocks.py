@@ -1,0 +1,231 @@
+"""NN building blocks (flax linen, channels-last).
+
+TPU-native re-design of the reference helper zoo
+(/root/reference/architectures/base.py): activation registry (base.py:97-114),
+same-pad conv factories with/without norm (base.py:117-216), center-crop
+concatenation (base.py:289-362), resampler kernels (base.py:6-66, 219-286).
+
+Design notes (TPU-first, not a translation):
+
+* Layout is channels-last ((*spatial, C)), the native XLA/TPU conv layout;
+  the reference's NCHW tensors are transposed once at the data boundary.
+* ``Norm`` replaces torch BatchNorm{2,3}d. The reference always runs BN in
+  training mode with batch size 1, which makes it exactly "normalise over the
+  spatial axes per channel with learnable scale/bias" — no running statistics.
+  Implementing that directly keeps per-patch statistics independent under
+  ``vmap`` (no cross-patch mixing) and removes BN state from the train step.
+* Convs use explicit symmetric padding ((k-1)//2 per side) so strided convs
+  produce ceil(n/s) outputs at torch-compatible offsets.
+* ``upsample`` does exact 2x duplication for 'nearest' (jnp.repeat — cheaper
+  than a resize gather and XLA-fusible) and half-pixel-centres linear resize
+  (= torch ``align_corners=False``) otherwise.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# ----------------------------------------------------------------------
+# activations (parity: base.py:97-114)
+# ----------------------------------------------------------------------
+
+def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name is None or name == "none":
+        return lambda x: x
+    table = {
+        "LeakyReLU": lambda x: nn.leaky_relu(x, negative_slope=0.2),
+        "ReLU": nn.relu,
+        "ELU": nn.elu,
+        "Tanh": jnp.tanh,
+        "Sigmoid": nn.sigmoid,
+        "Swish": nn.swish,  # base.py:373-383
+    }
+    if name not in table:
+        raise NotImplementedError(f"unknown activation function '{name}'")
+    return table[name]
+
+
+# ----------------------------------------------------------------------
+# normalisation
+# ----------------------------------------------------------------------
+
+class Norm(nn.Module):
+    """Batch-of-1 BatchNorm: normalise over all non-channel axes.
+
+    Equivalent to torch BatchNorm{2,3}d as the reference uses it (training
+    mode, batch 1, running stats never consumed). eps matches torch (1e-5).
+    """
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (c,), x.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), x.dtype)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+# ----------------------------------------------------------------------
+# convolution helpers (parity: base.py:117-216)
+# ----------------------------------------------------------------------
+
+def _same_pad(kernel_size: int) -> int:
+    return (kernel_size - 1) // 2
+
+
+class Conv(nn.Module):
+    """Same-pad conv (torch-compatible symmetric padding), any spatial rank."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    ndim: int = 2
+    use_bias: bool = True
+    pad: str = "zero"  # zero | reflection (base.py:129-159 conv_mod)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, p = self.kernel_size, _same_pad(self.kernel_size)
+        if self.pad == "reflection" and p > 0:
+            pads = [(0, 0)] * (x.ndim - 1 - self.ndim) + [(p, p)] * self.ndim + [(0, 0)]
+            x = jnp.pad(x, pads, mode="reflect")
+            padding = [(0, 0)] * self.ndim
+        else:
+            padding = [(p, p)] * self.ndim
+        return nn.Conv(self.features, (k,) * self.ndim, strides=(self.stride,) * self.ndim,
+                       padding=padding, use_bias=self.use_bias)(x)
+
+
+class ConvNormAct(nn.Module):
+    """conv -> Norm -> activation (parity: conv2dbn/conv3dbn, base.py:162-216)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    ndim: int = 2
+    use_bias: bool = True
+    act: str = "LeakyReLU"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv(self.features, self.kernel_size, self.stride, self.ndim, self.use_bias)(x)
+        x = Norm()(x)
+        return get_activation(self.act)(x)
+
+
+# ----------------------------------------------------------------------
+# center-crop concat (parity: Concat/Concat3D, base.py:289-362)
+# ----------------------------------------------------------------------
+
+def center_crop_to(x: jnp.ndarray, spatial: Sequence[int]) -> jnp.ndarray:
+    """Center-crop the spatial dims (all but last) of ``x`` to ``spatial``."""
+    slices = []
+    for dim, tgt in zip(x.shape[:-1], spatial):
+        d = (dim - tgt) // 2
+        slices.append(slice(d, d + tgt))
+    slices.append(slice(None))
+    return x[tuple(slices)]
+
+
+def concat_crop(xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Concat along channels after center-cropping spatial dims to the min."""
+    spatial = [min(x.shape[d] for x in xs) for d in range(xs[0].ndim - 1)]
+    return jnp.concatenate([center_crop_to(x, spatial) for x in xs], axis=-1)
+
+
+# ----------------------------------------------------------------------
+# resampling
+# ----------------------------------------------------------------------
+
+def upsample(x: jnp.ndarray, factor: int = 2, mode: str = "nearest") -> jnp.ndarray:
+    """Upsample the spatial dims (all but last channel dim) by ``factor``.
+
+    'nearest' duplicates samples (== torch Upsample nearest for integer
+    factors); 'bilinear'/'trilinear'/'linear' use half-pixel linear resize
+    (== torch align_corners=False).
+    """
+    ndim = x.ndim - 1
+    if mode == "nearest":
+        for ax in range(ndim):
+            x = jnp.repeat(x, factor, axis=ax)
+        return x
+    new_shape = tuple(s * factor for s in x.shape[:-1]) + (x.shape[-1],)
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+def downsample_pool(x: jnp.ndarray, factor: int, mode: str) -> jnp.ndarray:
+    """avg/max pooling downsample (parity: base.py:129-146 conv_mod modes)."""
+    ndim = x.ndim - 1
+    window = (factor,) * ndim + (1,)
+    strides = window
+    x4 = x[None]
+    if mode == "avg":
+        y = nn.avg_pool(x4, window, strides)
+    elif mode == "max":
+        y = nn.max_pool(x4, window, strides)
+    else:
+        raise ValueError(f"unknown pooling mode '{mode}'")
+    return y[0]
+
+
+def lanczos_kernel_1d(factor: int, support: int) -> jnp.ndarray:
+    """1-D Lanczos resampling taps (parity: get_kernel, base.py:33-58).
+
+    Half-phase (phase=0.5) taps of width ``support * 2 * factor`` used by the
+    separable ``Downsampler`` path; normalised to unit sum.
+    """
+    width = 2 * support * factor
+    # half-phase sample positions relative to the kernel center, in units of
+    # the downsampling factor
+    center = (width + 1) / 2.0
+    i = jnp.arange(1, width + 1, dtype=jnp.float32)
+    d = jnp.abs(i + 0.5 - center) / factor
+    pi = jnp.pi
+    val = jnp.where(
+        d == 0, 1.0,
+        support * jnp.sin(pi * d) * jnp.sin(pi * d / support) / (pi * pi * d * d))
+    return val / jnp.sum(val)
+
+
+def lanczos_downsample(x: jnp.ndarray, factor: int, support: int = 2) -> jnp.ndarray:
+    """Separable Lanczos anti-aliased downsample of the spatial dims.
+
+    TPU-native replacement for the reference ``Downsampler`` (base.py:219-286):
+    instead of an n_planes x n_planes conv with a diagonal kernel, apply the
+    separable 1-D taps per axis as depthwise convs with replicate padding
+    (preserve_size=True semantics).
+    """
+    taps = lanczos_kernel_1d(factor, support).astype(x.dtype)
+    width = taps.shape[0]
+    pad = (width - factor) // 2
+    ndim = x.ndim - 1
+    for ax in range(ndim):
+        x = jnp.moveaxis(x, ax, -2)  # (..., L, C)
+        lead = x.shape[:-2]
+        L, C = x.shape[-2], x.shape[-1]
+        xr = x.reshape((-1, L, C))
+        xr = jnp.pad(xr, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+        kern = jnp.tile(taps[:, None, None], (1, 1, C))  # (W, 1, C) depthwise
+        y = jax.lax.conv_general_dilated(
+            xr, kern, window_strides=(factor,), padding=[(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=C)
+        x = y.reshape(lead + (y.shape[1], C))
+        x = jnp.moveaxis(x, -2, ax)
+    return x
+
+
+class Dropout(nn.Module):
+    """Dropout active whenever rate > 0 (reference nets always train)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.rate <= 0.0:
+            return x
+        return nn.Dropout(self.rate, deterministic=False)(x)

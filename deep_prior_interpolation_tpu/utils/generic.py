@@ -1,0 +1,49 @@
+"""Small generic helpers.
+
+TPU-native re-implementation of the capabilities of the reference
+``utils/generic.py`` (see /root/reference/utils/generic.py:10-48): power-of-two
+helper, run-id codes, digit widths, and h:m:s <-> seconds formatting used in
+run manifests.
+"""
+from __future__ import annotations
+
+import math
+import string
+import secrets
+
+
+def nextpow2(x: float) -> int:
+    """Smallest integer p such that 2**p >= x (parity: utils/generic.py:10)."""
+    if x <= 1:
+        return 0
+    return int(math.ceil(math.log2(x)))
+
+
+def random_code(n: int = 6) -> str:
+    """A short alphanumeric run id (parity: utils/generic.py random_code)."""
+    alphabet = string.ascii_lowercase + string.digits
+    return "".join(secrets.choice(alphabet) for _ in range(n))
+
+
+def ten_digit(number: float) -> int:
+    """Number of decimal digits needed to print indices up to ``number``."""
+    if number <= 1:
+        return 1
+    return int(math.floor(math.log10(number)) + 1)
+
+
+def sec2time(seconds: float) -> str:
+    """Format seconds as ``h:mm:ss`` (parity: utils/generic.py:23-28)."""
+    s = int(round(seconds))
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return f"{h:d}:{m:02d}:{sec:02d}"
+
+
+def time2sec(time_str: str) -> int:
+    """Inverse of :func:`sec2time`."""
+    parts = [int(p) for p in str(time_str).split(":")]
+    while len(parts) < 3:
+        parts.insert(0, 0)
+    h, m, s = parts[-3:]
+    return h * 3600 + m * 60 + s
