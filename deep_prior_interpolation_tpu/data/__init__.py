@@ -1,0 +1,15 @@
+"""Data pipeline: N-D patch tiling, overlap-add, 2.5D transposes."""
+from .patcher import (PatchExtractor, cosinetaper, count_patches,
+                      flat_index_map, hanningtaper, in_content_cropped_shape,
+                      mid_intensity_high_texture, overlap_add,
+                      patch_array_shape, taper2d)
+from .pipeline import (extract_patches, get_patch_extractor,
+                       reconstruct_patches, transpose_patches_25d)
+
+__all__ = [
+    "PatchExtractor", "cosinetaper", "count_patches", "flat_index_map",
+    "hanningtaper", "in_content_cropped_shape", "mid_intensity_high_texture",
+    "overlap_add", "patch_array_shape", "taper2d",
+    "extract_patches", "get_patch_extractor", "reconstruct_patches",
+    "transpose_patches_25d",
+]

@@ -1,0 +1,140 @@
+"""Patch-parallel execution over a TPU device mesh.
+
+This layer has no counterpart in the reference, whose unit of parallelism —
+the patch — is processed strictly sequentially on one GPU (main.py:274-295;
+see SURVEY §2.2). DIP patches are embarrassingly parallel: every patch owns
+its private network + Adam state and there is no gradient exchange, so the
+TPU-native design is:
+
+  * ``vmap`` the whole scanned solver step over a batch of same-shaped
+    patches (independent params per patch), and
+  * lay the batch axis onto a 1-D ``jax.sharding.Mesh`` ("patch") so XLA
+    SPMD places one patch group per chip; no collectives run in the hot
+    loop, and the only cross-chip traffic is the final host gather of
+    best outputs (assembly-time, parity with SURVEY §2.2's checklist).
+
+Early stopping composes: each patch freezes through its ``done`` flag and the
+host breaks out of the chunk loop when every patch in the batch is done.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..engine.history import History, HistoryReg
+from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
+                             build_base_input, build_data, init_carry,
+                             make_run_chunk, pad_multiple_for, padded_spatial)
+
+
+def make_mesh(n_devices: int = 0,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A 1-D "patch" mesh over the first ``n_devices`` devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices and n_devices > 0:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("patch",))
+
+
+def _tree_stack(trees: Sequence[Any]):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def solve_patches_batched(cfg: Config, solver: DIPSolver,
+                          patches: List[dict],
+                          mesh: Optional[Mesh] = None) -> List[SolveResult]:
+    """Solve a group of same-shaped patches concurrently.
+
+    Batches with ``vmap`` on one chip; with ``cfg.mesh_shape > 1`` (or an
+    explicit ``mesh``) the batch axis is sharded across the mesh. The batch
+    is padded (by repeating the last patch) to a multiple of the mesh size;
+    padded lanes are dropped from the returned results.
+    """
+    assert patches, "empty patch group"
+    spatial = tuple(patches[0]["image"].shape[:-1])
+    for p in patches:
+        assert tuple(p["image"].shape[:-1]) == spatial, \
+            "batched patches must share a shape; group by shape upstream"
+
+    if mesh is None and cfg.mesh_shape and cfg.mesh_shape > 1:
+        mesh = make_mesh(cfg.mesh_shape)
+
+    n_real = len(patches)
+    if mesh is not None:
+        m = mesh.devices.size
+        while len(patches) % m != 0:
+            patches = patches + [patches[-1]]
+
+    B = len(patches)
+    s = StepSettings.from_config(cfg, spatial, track_last=False)
+    run_chunk = make_run_chunk(solver.model, s)
+    batched = jax.vmap(run_chunk, in_axes=(0, None, 0))
+    if mesh is not None:
+        # One local vmap per device over its patch shard: per-patch conv
+        # kernels vmapped into grouped convs stay device-local instead of
+        # being SPMD-partitioned (which XLA cannot do for grouped convs).
+        sharded = jax.shard_map(
+            batched, mesh=mesh,
+            in_specs=(P("patch"), P(), P("patch")),
+            out_specs=(P("patch"), P("patch")))
+        jitted = jax.jit(sharded, donate_argnums=0)
+    else:
+        jitted = jax.jit(batched, donate_argnums=0)
+
+    mult = pad_multiple_for(cfg)
+    padded = padded_spatial(spatial, mult)
+
+    carries, datas = [], []
+    for i, patch in enumerate(patches):
+        key = jax.random.PRNGKey(cfg.seed + i)
+        k_noise, k_model = jax.random.split(key)
+        base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
+        datas.append(build_data(cfg, s, patch["image"], patch["mask"],
+                                base_input, solver.dtype))
+        carries.append(init_carry(solver.model, s, cfg, k_model,
+                                  base_input.shape, solver.outchannel,
+                                  None, solver.dtype))
+    carry = _tree_stack(carries)
+    data = _tree_stack(datas)
+
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("patch"))
+        carry = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), carry)
+        data = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
+
+    chunk = max(1, min(cfg.scan_chunk, cfg.epochs))
+    n_chunks = math.ceil(cfg.epochs / chunk)
+    hist_cls = HistoryReg if s.pocs else History
+    hists = [hist_cls(cfg.epochs) for _ in range(B)]
+    iters_run = [0] * B
+
+    start = time.time()
+    for c in range(n_chunks):
+        iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
+        carry, ys = jitted(carry, iters, data)
+        ys = jax.device_get(ys)  # leaves: (B, K)
+        for b in range(B):
+            n_rec = int(np.sum(ys["recorded"][b]))
+            n_rec = min(n_rec, cfg.epochs - iters_run[b])
+            hists[b].extend({k: v[b] for k, v in ys.items()}, n_rec)
+            iters_run[b] += n_rec
+        if bool(np.all(jax.device_get(carry["done"]))):
+            break
+    elapsed = time.time() - start
+
+    out_best = np.asarray(jax.device_get(carry["out_best"]), np.float32)
+    results = []
+    for b in range(n_real):
+        params_b = jax.tree_util.tree_map(lambda x: x[b], carry["params"])
+        results.append(SolveResult(
+            out_best=out_best[b, 0], history=hists[b], params=params_b,
+            elapsed=elapsed / B, iters_run=iters_run[b],
+            stopped_early=iters_run[b] < cfg.epochs, snapshots={}))
+    return results

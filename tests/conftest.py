@@ -1,0 +1,32 @@
+"""Test harness: deterministic 8-device CPU mesh (the TPU-native equivalent
+of a fake backend — SURVEY §4), set before jax is imported anywhere."""
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon latched; env alone is too late, so override via config
+# (backend init is still lazy at this point, XLA_FLAGS above is honoured).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def lines_data():
+    """The bundled 2D gather + 66%-decimation mask from the reference
+    datasets (read-only reference fixture; float64 -> float32 on use)."""
+    base = "/root/reference/datasets/lines"
+    img = np.load(os.path.join(base, "original.npy"))
+    mask = np.load(os.path.join(base, "random66.npy"))
+    return np.asarray(img, np.float32), np.asarray(mask, np.float32)

@@ -1,0 +1,76 @@
+"""Patch-parallel layer tests on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from deep_prior_interpolation_tpu.config import Config
+from deep_prior_interpolation_tpu.engine import DIPSolver
+from deep_prior_interpolation_tpu.parallel import make_mesh, solve_patches_batched
+
+
+def make_patches(rng, n, nt=24, nx=16):
+    t = np.linspace(0, 1, nt)[:, None]
+    x = np.linspace(0, 1, nx)[None, :]
+    out = []
+    for i in range(n):
+        img = np.sin(2 * np.pi * ((2 + i) * t + 2 * x)).astype(np.float32)[..., None]
+        mask = np.repeat((rng.rand(1, nx) > 0.5).astype(np.float32), nt, 0)[..., None]
+        out.append({"image": img, "mask": mask, "name": str(i)})
+    return out
+
+
+def cfg(**kw):
+    base = dict(datadim="2d", epochs=20, inputdepth=4, filters=[8, 16],
+                skip=[4], scan_chunk=10, gain=1.0)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_mesh_has_8_cpu_devices():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_vmap_batch_matches_sequential(rng):
+    patches = make_patches(rng, 2)
+    c = cfg()
+    solver = DIPSolver(c, outchannel=1)
+    batched = solve_patches_batched(c, solver, patches)
+    for patch, res in zip(patches, batched):
+        seq = DIPSolver(c, outchannel=1).solve(
+            patch["image"], patch["mask"],
+            key=jax.random.PRNGKey(c.seed + int(patch["name"])))
+        # identical keys -> identical noise/params -> identical trajectories
+        np.testing.assert_allclose(res.history.loss, seq.history.loss,
+                                   rtol=2e-3, atol=1e-6)
+        np.testing.assert_allclose(res.out_best, seq.out_best,
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_sharded_batch_over_mesh(rng):
+    patches = make_patches(rng, 8)
+    c = cfg(mesh_shape=8, epochs=10)
+    solver = DIPSolver(c, outchannel=1)
+    results = solve_patches_batched(c, solver, patches)
+    assert len(results) == 8
+    for r in results:
+        assert r.iters_run == 10
+        assert np.isfinite(r.history.loss[-1])
+
+
+def test_batch_padding_to_mesh(rng):
+    # 5 patches on an 8-device mesh -> padded internally, 5 results out
+    patches = make_patches(rng, 5)
+    c = cfg(mesh_shape=8, epochs=6, scan_chunk=6)
+    solver = DIPSolver(c, outchannel=1)
+    results = solve_patches_batched(c, solver, patches)
+    assert len(results) == 5
+
+
+def test_batched_early_stop(rng):
+    patches = make_patches(rng, 2)
+    c = cfg(epochs=30, earlystop_patience=2, earlystop_min_delta=80.0)
+    solver = DIPSolver(c, outchannel=1)
+    results = solve_patches_batched(c, solver, patches)
+    assert all(r.iters_run < 30 for r in results)
