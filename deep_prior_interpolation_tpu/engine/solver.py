@@ -76,11 +76,13 @@ class StepSettings:
     pocs_thresh: float = 5.0
     pocs_weight: Optional[float] = None
     track_last: bool = False
+    takes_mask: bool = False  # partial-conv nets take (x, mask)
     orig_spatial: Tuple[int, ...] = ()
 
     @classmethod
     def from_config(cls, cfg: Config, orig_spatial: Tuple[int, ...],
-                    track_last: bool = False) -> "StepSettings":
+                    track_last: bool = False,
+                    takes_mask: bool = False) -> "StepSettings":
         return cls(loss=cfg.loss, epochs=cfg.epochs, lr=cfg.lr,
                    reduce_lr=cfg.reduce_lr, lr_factor=cfg.lr_factor,
                    lr_thresh=cfg.lr_thresh, lr_patience=cfg.lr_patience,
@@ -91,7 +93,7 @@ class StepSettings:
                    forget_factor=cfg.data_forgetting_factor,
                    pocs=cfg.pocs, pocs_thresh=cfg.pocs_thresh,
                    pocs_weight=cfg.pocs_weight, track_last=track_last,
-                   orig_spatial=tuple(orig_spatial))
+                   takes_mask=takes_mask, orig_spatial=tuple(orig_spatial))
 
 
 def _crop_center(x: jnp.ndarray, spatial: Tuple[int, ...]) -> jnp.ndarray:
@@ -148,7 +150,11 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
 
         def loss_of(p):
             rngs = {"dropout": k_drop} if s.dropout > 0 else None
-            out = model.apply({"params": p}, inp, rngs=rngs)
+            if s.takes_mask:  # partial-conv nets (SURVEY §2.4 #8, fixed here)
+                out = model.apply({"params": p}, inp, data["net_mask"],
+                                  rngs=rngs)
+            else:
+                out = model.apply({"params": p}, inp, rngs=rngs)
             out = _crop_center(out, s.orig_spatial)
             main = loss_fn(out, img, mask)
             if s.pocs:
@@ -263,7 +269,11 @@ def init_carry(model, s: StepSettings, cfg: Config, key: jax.Array,
     k_init, k_winit, key = jax.random.split(key, 3)
     if init_params is None:
         dummy = jnp.zeros(input_shape, dtype)
-        variables = model.init({"params": k_init, "dropout": k_init}, dummy)
+        rngs = {"params": k_init, "dropout": k_init}
+        if s.takes_mask:
+            variables = model.init(rngs, dummy, jnp.ones_like(dummy))
+        else:
+            variables = model.init(rngs, dummy)
         params = variables["params"]
         params = init_weights(params, k_winit, cfg.inittype, cfg.initgain)
     else:
@@ -336,6 +346,17 @@ def build_data(cfg: Config, s: StepSettings, img: np.ndarray, mask: np.ndarray,
         coarse = img_ * mask_
         data["pocs_wdata"] = cfg.pocs_alpha * coarse
         data["pocs_wmask"] = jnp.ones_like(mask_) - cfg.pocs_alpha * mask_
+    if s.takes_mask:
+        # sampling mask broadcast to the noise depth on the padded canvas
+        c = mask_.shape[-1]
+        reps = -(-cfg.inputdepth // c)
+        nm = jnp.tile(mask_, (1,) * (mask_.ndim - 1) + (reps,))[..., :cfg.inputdepth]
+        pads = [(0, 0)]
+        for dim, tgt in zip(nm.shape[1:-1], base_input.shape[1:-1]):
+            d = (tgt - dim) // 2
+            pads.append((d, tgt - dim - d))
+        pads.append((0, 0))
+        data["net_mask"] = jnp.pad(nm, pads)
     return data
 
 
@@ -388,7 +409,9 @@ class DIPSolver:
         padded = padded_spatial(spatial, mult)
 
         save_every = cfg.save_every
-        s = StepSettings.from_config(cfg, spatial, track_last=save_every is not None)
+        s = StepSettings.from_config(
+            cfg, spatial, track_last=save_every is not None,
+            takes_mask=getattr(self.model, "takes_mask", False))
         run_chunk = self._get_run_chunk(s)
 
         if key is None:

@@ -13,11 +13,21 @@ from .blocks import (Conv, ConvNormAct, Dropout, Norm, concat_crop,
                      get_activation, lanczos_downsample, upsample)
 from .init import init_weights
 from .mulresunet import MulResUnet, MultiResBlock, ResPath, multires_width
+from .skip import SkipNet
+from .attention import (AttMulResUnet, AttentionUnet, CBAM, ChannelGate,
+                        GridAttentionBlock, SpatialGate)
+from .partial import PartialBlock, PartialConv, PartialUNet
+from .unet import InstanceNorm, UNet
+from .convgru import ConvGRUCell, Decoder, Encoder, Ensemble
 
 __all__ = [
     "get_net", "init_weights", "MulResUnet", "MultiResBlock", "ResPath",
     "multires_width", "Conv", "ConvNormAct", "Norm", "Dropout",
     "concat_crop", "get_activation", "upsample", "lanczos_downsample",
+    "SkipNet", "AttMulResUnet", "AttentionUnet", "CBAM", "ChannelGate",
+    "GridAttentionBlock", "SpatialGate", "PartialBlock", "PartialConv",
+    "PartialUNet", "InstanceNorm", "UNet", "ConvGRUCell", "Decoder",
+    "Encoder", "Ensemble",
 ]
 
 

@@ -162,13 +162,12 @@ def upsample(x: jnp.ndarray, factor: int = 2, mode: str = "nearest") -> jnp.ndar
 def downsample_pool(x: jnp.ndarray, factor: int, mode: str) -> jnp.ndarray:
     """avg/max pooling downsample (parity: base.py:129-146 conv_mod modes)."""
     ndim = x.ndim - 1
-    window = (factor,) * ndim + (1,)
-    strides = window
+    window = (factor,) * ndim
     x4 = x[None]
     if mode == "avg":
-        y = nn.avg_pool(x4, window, strides)
+        y = nn.avg_pool(x4, window, window)
     elif mode == "max":
-        y = nn.max_pool(x4, window, strides)
+        y = nn.max_pool(x4, window, window)
     else:
         raise ValueError(f"unknown pooling mode '{mode}'")
     return y[0]

@@ -73,7 +73,9 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
             patches = patches + [patches[-1]]
 
     B = len(patches)
-    s = StepSettings.from_config(cfg, spatial, track_last=False)
+    s = StepSettings.from_config(
+        cfg, spatial, track_last=False,
+        takes_mask=getattr(solver.model, "takes_mask", False))
     run_chunk = make_run_chunk(solver.model, s)
     batched = jax.vmap(run_chunk, in_axes=(0, None, 0))
     if mesh is not None:
