@@ -1,5 +1,6 @@
-"""Optimisation engine: the chunked-scan DIP solver and histories."""
+"""Optimisation engine: the chunked-scan DIP solver, histories, optimizers."""
 from .history import History, HistoryReg
+from .optimizers import psgld, sgld
 from .solver import (DIPSolver, SolveResult, StepSettings, build_base_input,
                      build_data, init_carry, make_run_chunk, pad_multiple_for,
                      padded_spatial)
@@ -7,5 +8,5 @@ from .solver import (DIPSolver, SolveResult, StepSettings, build_base_input,
 __all__ = [
     "History", "HistoryReg", "DIPSolver", "SolveResult", "StepSettings",
     "build_base_input", "build_data", "init_carry", "make_run_chunk",
-    "pad_multiple_for", "padded_spatial",
+    "pad_multiple_for", "padded_spatial", "psgld", "sgld",
 ]

@@ -7,6 +7,10 @@ from .filters import (bool2bin, convolve_kernel_1d, denormalize,
                       first_derivative, gaussian_filter, gaussian_kernel,
                       lowpass_butterworth_taps, normalize, ricker_wavelet,
                       second_derivative)
+from .linops import (LinearOperator, auto_adjoint, avo_modelling, chain,
+                     dottest, hessian, vertical_conv, vertical_grad)
+from .masks import MaskUpdate, add_rand_mask, build_mask, dilate_mask
+from .slopes import Hale2D, directional_laplacian, structure_tensor_dips
 
 __all__ = [
     "get_loss_fn", "mae", "masked_mae", "masked_mse", "mse", "pcorr", "snr",
@@ -15,4 +19,8 @@ __all__ = [
     "bool2bin", "convolve_kernel_1d", "denormalize", "first_derivative",
     "gaussian_filter", "gaussian_kernel", "lowpass_butterworth_taps",
     "normalize", "ricker_wavelet", "second_derivative",
+    "LinearOperator", "auto_adjoint", "avo_modelling", "chain", "dottest",
+    "hessian", "vertical_conv", "vertical_grad",
+    "MaskUpdate", "add_rand_mask", "build_mask", "dilate_mask",
+    "Hale2D", "directional_laplacian", "structure_tensor_dips",
 ]
