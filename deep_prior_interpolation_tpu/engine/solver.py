@@ -59,22 +59,18 @@ from .history import History, HistoryReg
 
 @dataclass(frozen=True)
 class StepSettings:
+    """STATIC step structure — part of the jit cache key. Keep this minimal:
+    anything that can be a traced scalar lives in the ``hyper`` dict built by
+    :func:`build_hyper` instead, so changing epochs / LR schedule / early-stop
+    thresholds does NOT trigger a recompile (compiles of the big 3D scan body
+    cost minutes through the remote-compile path)."""
     loss: str = "mae"
-    epochs: int = 2001
-    lr: float = 1e-3
-    reduce_lr: bool = False
-    lr_factor: float = 0.9
-    lr_thresh: float = 1e-5
-    lr_patience: int = 100
-    es_patience: int = 2001
-    es_min_delta: float = 1.0
     reg_noise_std: float = 0.03
     param_noise: bool = False
     dropout: float = 0.0
     forget_factor: int = 0
     pocs: bool = False
-    pocs_thresh: float = 5.0
-    pocs_weight: Optional[float] = None
+    pocs_adaptive: bool = True  # eps = main/reg vs fixed pocs_weight
     track_last: bool = False
     takes_mask: bool = False  # partial-conv nets take (x, mask)
     orig_spatial: Tuple[int, ...] = ()
@@ -83,17 +79,30 @@ class StepSettings:
     def from_config(cls, cfg: Config, orig_spatial: Tuple[int, ...],
                     track_last: bool = False,
                     takes_mask: bool = False) -> "StepSettings":
-        return cls(loss=cfg.loss, epochs=cfg.epochs, lr=cfg.lr,
-                   reduce_lr=cfg.reduce_lr, lr_factor=cfg.lr_factor,
-                   lr_thresh=cfg.lr_thresh, lr_patience=cfg.lr_patience,
-                   es_patience=int(cfg.earlystop_patience or cfg.epochs),
-                   es_min_delta=cfg.earlystop_min_delta,
+        return cls(loss=cfg.loss,
                    reg_noise_std=cfg.reg_noise_std,
                    param_noise=cfg.param_noise, dropout=cfg.dropout,
                    forget_factor=cfg.data_forgetting_factor,
-                   pocs=cfg.pocs, pocs_thresh=cfg.pocs_thresh,
-                   pocs_weight=cfg.pocs_weight, track_last=track_last,
+                   pocs=cfg.pocs, pocs_adaptive=cfg.pocs_weight is None,
+                   track_last=track_last,
                    takes_mask=takes_mask, orig_spatial=tuple(orig_spatial))
+
+
+def build_hyper(cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Traced scalar hyperparameters of the step (see StepSettings note)."""
+    return {
+        "epochs": jnp.asarray(cfg.epochs, jnp.int32),
+        "reduce_lr": jnp.asarray(bool(cfg.reduce_lr)),
+        "lr_factor": jnp.asarray(cfg.lr_factor, jnp.float32),
+        "lr_thresh": jnp.asarray(cfg.lr_thresh, jnp.float32),
+        "lr_patience": jnp.asarray(cfg.lr_patience, jnp.int32),
+        "es_patience": jnp.asarray(int(cfg.earlystop_patience or cfg.epochs),
+                                   jnp.int32),
+        "es_min_delta": jnp.asarray(cfg.earlystop_min_delta, jnp.float32),
+        "pocs_thresh": jnp.asarray(cfg.pocs_thresh, jnp.float32),
+        "pocs_weight": jnp.asarray(cfg.pocs_weight if cfg.pocs_weight
+                                   is not None else 0.0, jnp.float32),
+    }
 
 
 def _crop_center(x: jnp.ndarray, spatial: Tuple[int, ...]) -> jnp.ndarray:
@@ -127,7 +136,7 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
     loss_fn = L.get_loss_fn(s.loss)
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
-    def step(data, carry, it):
+    def step(data, hyper, carry, it):
         key, k_noise, k_param, k_drop = jax.random.split(carry["key"], 4)
         inp = data["base_input"]
         if s.reg_noise_std > 0:
@@ -160,12 +169,12 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
             if s.pocs:
                 proj = jax.lax.stop_gradient(
                     fk_projection(out, data["pocs_wdata"], data["pocs_wmask"],
-                                  s.pocs_thresh))
+                                  hyper["pocs_thresh"]))
                 reg = L.mse(out, proj)
-                if s.pocs_weight is None:
+                if s.pocs_adaptive:
                     eps = jax.lax.stop_gradient(main / reg)
                 else:
-                    eps = jnp.asarray(s.pocs_weight, main.dtype)
+                    eps = hyper["pocs_weight"].astype(main.dtype)
                 total = main + eps * reg
             else:
                 reg = jnp.zeros_like(main)
@@ -188,37 +197,35 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
         out_best = jnp.where(better, out, carry["out_best"])
         loss_min = jnp.where(better, loss, carry["loss_min"])
 
-        # --- ReduceLROnPlateau (torch rel-threshold min mode) ---
+        # --- ReduceLROnPlateau (torch rel-threshold min mode),
+        #     gated by the dynamic reduce_lr flag ---
         lr = carry["lr"]
-        if s.reduce_lr:
-            pb, pbad = carry["plateau_best"], carry["plateau_bad"]
-            is_b = loss < pb * (1.0 - s.lr_thresh)
-            pb = jnp.where(is_b, loss, pb)
-            pbad = jnp.where(is_b, 0, pbad + 1)
-            reduce = pbad > s.lr_patience
-            new_lr = lr * s.lr_factor
-            lr = jnp.where(reduce & (lr - new_lr > 1e-8), new_lr, lr)
-            pbad = jnp.where(reduce, 0, pbad)
-            pb = jnp.where(done, carry["plateau_best"], pb)
-            pbad = jnp.where(done, carry["plateau_bad"], pbad)
-            lr = jnp.where(done, carry["lr"], lr)
-        else:
-            pb, pbad = carry["plateau_best"], carry["plateau_bad"]
+        active = hyper["reduce_lr"] & ~done
+        pb, pbad = carry["plateau_best"], carry["plateau_bad"]
+        is_b = loss < pb * (1.0 - hyper["lr_thresh"])
+        pb2 = jnp.where(is_b, loss, pb)
+        pbad2 = jnp.where(is_b, 0, pbad + 1)
+        reduce = pbad2 > hyper["lr_patience"]
+        new_lr = lr * hyper["lr_factor"]
+        lr2 = jnp.where(reduce & (lr - new_lr > 1e-8), new_lr, lr)
+        pbad2 = jnp.where(reduce, 0, pbad2)
+        pb = jnp.where(active, pb2, pb)
+        pbad = jnp.where(active, pbad2, pbad)
+        lr = jnp.where(active, lr2, lr)
 
-        # --- EarlyStopping (percentage min-delta, NaN abort) ---
+        # --- EarlyStopping (percentage min-delta, NaN abort);
+        #     patience 0 disables stopping (utils/torch.py:238-240) ---
         eb, ebad = carry["es_best"], carry["es_bad"]
         first = it == 0
-        if s.es_patience > 0:
-            is_b = loss < eb - eb * s.es_min_delta / 100.0
-            eb2 = jnp.where(first, loss, jnp.where(is_b, loss, eb))
-            ebad2 = jnp.where(first | is_b, 0, ebad + 1)
-            stop = ~first & (ebad2 >= s.es_patience)
-        else:  # patience 0 disables stopping (utils/torch.py:238-240)
-            eb2, ebad2, stop = jnp.where(first, loss, eb), ebad, False
+        is_b = loss < eb - eb * hyper["es_min_delta"] / 100.0
+        eb2 = jnp.where(first, loss, jnp.where(is_b, loss, eb))
+        ebad2 = jnp.where(first | is_b, 0, ebad + 1)
+        stop = (~first & (hyper["es_patience"] > 0)
+                & (ebad2 >= hyper["es_patience"]))
         nan_stop = jnp.isnan(loss)
         eb = jnp.where(done, eb, eb2)
         ebad = jnp.where(done, ebad, ebad2)
-        new_done = done | stop | nan_stop | (it + 1 >= s.epochs)
+        new_done = done | stop | nan_stop | (it + 1 >= hyper["epochs"])
 
         new_carry = {
             "params": _mask_tree(done, new_params, carry["params"]),
@@ -242,8 +249,8 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
             ys.update({"df": main, "reg": reg, "eps": eps})
         return new_carry, ys
 
-    def run_chunk(carry, iters, data):
-        return jax.lax.scan(partial(step, data), carry, iters)
+    def run_chunk(carry, iters, data, hyper):
+        return jax.lax.scan(partial(step, data, hyper), carry, iters)
 
     return run_chunk
 
@@ -385,6 +392,8 @@ class DIPSolver:
     """
 
     def __init__(self, cfg: Config, outchannel: int = 1, model=None):
+        from ..utils.generic import enable_compile_cache
+        enable_compile_cache()
         self.cfg = cfg
         self.outchannel = outchannel
         self.model = model if model is not None else get_net(cfg, outchannel)
@@ -420,6 +429,7 @@ class DIPSolver:
 
         base_input = build_base_input(cfg, k_noise, padded, self.dtype)
         data = build_data(cfg, s, img, mask, base_input, self.dtype)
+        hyper = build_hyper(cfg)
         carry = init_carry(self.model, s, cfg, k_model, base_input.shape,
                            self.outchannel, init_params, self.dtype)
 
@@ -435,7 +445,7 @@ class DIPSolver:
         stopped = False
         for c in range(n_chunks):
             iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
-            carry, ys = run_chunk(carry, iters, data)
+            carry, ys = run_chunk(carry, iters, data, hyper)
             ys = jax.device_get(ys)
             n_rec = int(np.sum(ys["recorded"]))
             n_rec = min(n_rec, cfg.epochs - iters_run)

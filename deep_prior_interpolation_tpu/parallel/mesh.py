@@ -30,8 +30,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..engine.history import History, HistoryReg
 from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
-                             build_base_input, build_data, init_carry,
-                             make_run_chunk, pad_multiple_for, padded_spatial)
+                             build_base_input, build_data, build_hyper,
+                             init_carry, make_run_chunk, pad_multiple_for,
+                             padded_spatial)
 
 
 def make_mesh(n_devices: int = 0,
@@ -77,14 +78,14 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
         cfg, spatial, track_last=False,
         takes_mask=getattr(solver.model, "takes_mask", False))
     run_chunk = make_run_chunk(solver.model, s)
-    batched = jax.vmap(run_chunk, in_axes=(0, None, 0))
+    batched = jax.vmap(run_chunk, in_axes=(0, None, 0, None))
     if mesh is not None:
         # One local vmap per device over its patch shard: per-patch conv
         # kernels vmapped into grouped convs stay device-local instead of
         # being SPMD-partitioned (which XLA cannot do for grouped convs).
         sharded = jax.shard_map(
             batched, mesh=mesh,
-            in_specs=(P("patch"), P(), P("patch")),
+            in_specs=(P("patch"), P(), P("patch"), P()),
             out_specs=(P("patch"), P("patch")))
         jitted = jax.jit(sharded, donate_argnums=0)
     else:
@@ -105,6 +106,7 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
                                   None, solver.dtype))
     carry = _tree_stack(carries)
     data = _tree_stack(datas)
+    hyper = build_hyper(cfg)
 
     if mesh is not None:
         sh = NamedSharding(mesh, P("patch"))
@@ -120,7 +122,7 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     start = time.time()
     for c in range(n_chunks):
         iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
-        carry, ys = jitted(carry, iters, data)
+        carry, ys = jitted(carry, iters, data, hyper)
         ys = jax.device_get(ys)  # leaves: (B, K)
         for b in range(B):
             n_rec = int(np.sum(ys["recorded"][b]))

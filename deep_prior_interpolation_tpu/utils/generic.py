@@ -12,6 +12,29 @@ import string
 import secrets
 
 
+_cache_enabled = False
+
+
+def enable_compile_cache(path: str = "/root/.cache/jax_compilation_cache") -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Compiles of the scanned solver step are expensive (minutes for large 3D
+    graphs); the cache amortises them across processes and bench runs.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _cache_enabled = True
+    except Exception:
+        pass  # older jax without these flags: cache is an optimisation only
+
+
 def nextpow2(x: float) -> int:
     """Smallest integer p such that 2**p >= x (parity: utils/generic.py:10)."""
     if x <= 1:
