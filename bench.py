@@ -50,7 +50,8 @@ def main() -> None:
     from deep_prior_interpolation_tpu.config import Config
     from deep_prior_interpolation_tpu.engine import (DIPSolver, StepSettings,
                                                      build_base_input,
-                                                     build_data, init_carry,
+                                                     build_data, build_hyper,
+                                                     init_carry,
                                                      make_run_chunk,
                                                      pad_multiple_for,
                                                      padded_spatial)
@@ -58,7 +59,11 @@ def main() -> None:
     nt, nx, ny = (int(v) for v in os.environ.get("BENCH_SHAPE", "256,128,128").split(","))
     iters_timed = int(os.environ.get("BENCH_ITERS", "100"))
     chunk = int(os.environ.get("BENCH_CHUNK", "25"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # bf16 convs + per-block remat by default: the f32 no-remat variant of the
+    # full-size patch exceeds HBM and sends XLA into a pathological
+    # auto-rematerialisation search at compile time
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
 
     vol = synth_hyperbolic(nt, nx, ny)
     rng = np.random.RandomState(1)
@@ -69,7 +74,8 @@ def main() -> None:
     cfg = Config(datadim="3d", epochs=iters_timed + 2 * chunk, loss="mae",
                  lr=1e-3, inputdepth=64, filters=[16, 32, 64, 128, 256],
                  skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
-                 reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype)
+                 reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
+                 remat=remat)
 
     solver = DIPSolver(cfg, outchannel=1)
     spatial = tuple(img.shape[:-1])
@@ -82,11 +88,13 @@ def main() -> None:
     padded = padded_spatial(spatial, pad_multiple_for(cfg))
     base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
     data = build_data(cfg, s, img, msk, base_input, solver.dtype)
+    hyper = build_hyper(cfg)
     carry = init_carry(solver.model, s, cfg, k_model, base_input.shape, 1,
                        None, solver.dtype)
 
     # warmup chunk (compile + first run)
-    carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32), data)
+    carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32), data,
+                          hyper)
     jax.block_until_ready(ys["loss"])
 
     # timed steady-state chunks
@@ -94,7 +102,8 @@ def main() -> None:
     t0 = time.time()
     for c in range(1, n_chunks + 1):
         carry, ys = run_chunk(
-            carry, jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32), data)
+            carry, jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32),
+            data, hyper)
     jax.block_until_ready(ys["loss"])
     elapsed = time.time() - t0
 

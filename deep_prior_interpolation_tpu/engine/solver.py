@@ -397,7 +397,9 @@ class DIPSolver:
         self.cfg = cfg
         self.outchannel = outchannel
         self.model = model if model is not None else get_net(cfg, outchannel)
-        self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        # data/loss stay f32; cfg.dtype=bfloat16 switches the NET's compute
+        # dtype (handled inside the model), not the data pipeline
+        self.dtype = jnp.float32
         self._jitted: Dict[Any, Callable] = {}
 
     # -- internals -----------------------------------------------------

@@ -33,15 +33,19 @@ __all__ = [
 
 def get_net(cfg: Config, outchannel: int = 1):
     """Map (datadim, net) -> a flax module (architectures/__init__.py:10-86)."""
+    import jax.numpy as jnp
+
     ndim = cfg.ndim_model
     name = cfg.net
     common = dict(out_channels=outchannel, ndim=ndim,
                   act=cfg.activation, last_act=cfg.last_activation,
                   use_bias=True, upsample_mode=cfg.upsample,
                   dropout=cfg.dropout)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
     if name in ("multiunet", "load"):
-        return MulResUnet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)
+        return MulResUnet(filters=tuple(cfg.filters), skip=tuple(cfg.skip),
+                          dtype=dtype, remat=cfg.remat, **common)
     if name == "skip":
         from .skip import SkipNet
         return SkipNet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)

@@ -58,6 +58,9 @@ class Norm(nn.Module):
 
     Equivalent to torch BatchNorm{2,3}d as the reference uses it (training
     mode, batch 1, running stats never consumed). eps matches torch (1e-5).
+    Statistics are always computed in float32 (bf16 sums across millions of
+    voxels lose too much precision); the result is cast back to the input
+    dtype.
     """
     eps: float = 1e-5
 
@@ -65,12 +68,13 @@ class Norm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        scale = self.param("scale", nn.initializers.ones, (c,), x.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (c,), x.dtype)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
 
 
 # ----------------------------------------------------------------------
@@ -82,13 +86,18 @@ def _same_pad(kernel_size: int) -> int:
 
 
 class Conv(nn.Module):
-    """Same-pad conv (torch-compatible symmetric padding), any spatial rank."""
+    """Same-pad conv (torch-compatible symmetric padding), any spatial rank.
+
+    ``dtype`` is the compute dtype (bfloat16 for the MXU fast path); params
+    stay float32 (flax param_dtype default).
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
     ndim: int = 2
     use_bias: bool = True
     pad: str = "zero"  # zero | reflection (base.py:129-159 conv_mod)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +109,8 @@ class Conv(nn.Module):
         else:
             padding = [(p, p)] * self.ndim
         return nn.Conv(self.features, (k,) * self.ndim, strides=(self.stride,) * self.ndim,
-                       padding=padding, use_bias=self.use_bias)(x)
+                       padding=padding, use_bias=self.use_bias,
+                       dtype=self.dtype)(x)
 
 
 class ConvNormAct(nn.Module):
@@ -111,10 +121,12 @@ class ConvNormAct(nn.Module):
     ndim: int = 2
     use_bias: bool = True
     act: str = "LeakyReLU"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Conv(self.features, self.kernel_size, self.stride, self.ndim, self.use_bias)(x)
+        x = Conv(self.features, self.kernel_size, self.stride, self.ndim,
+                 self.use_bias, dtype=self.dtype)(x)
         x = Norm()(x)
         return get_activation(self.act)(x)
 

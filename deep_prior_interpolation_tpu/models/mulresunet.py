@@ -44,12 +44,14 @@ class MultiResBlock(nn.Module):
     use_bias: bool = True
     drop: float = 0.0
     extra_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.alpha * self.u
         c1, c2, c3 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
-        kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias)
+        kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias,
+                  dtype=self.dtype)
         out1 = ConvNormAct(c1, 3, **kw)(x)
         out2 = ConvNormAct(c2, 3, **kw)(out1)
         out3 = ConvNormAct(c3, 3, **kw)(out2)
@@ -78,10 +80,12 @@ class ResPath(nn.Module):
     drop: float = 0.0
     norm_last: bool = True
     length: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias)
+        kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias,
+                  dtype=self.dtype)
         for _ in range(self.length):
             a = ConvNormAct(self.f_out, 3, **kw)(x)
             b = ConvNormAct(self.f_out, 1, **kw)(x)
@@ -94,7 +98,15 @@ class ResPath(nn.Module):
 
 
 class MulResUnet(nn.Module):
-    """Rank-polymorphic MultiRes U-Net (2D when ndim=2, 3D when ndim=3)."""
+    """Rank-polymorphic MultiRes U-Net (2D when ndim=2, 3D when ndim=3).
+
+    ``dtype=bfloat16`` runs every conv in bf16 on the MXU (params and norm
+    statistics stay f32; the output is cast back to the input dtype).
+    ``remat`` wraps every multi-res block in ``jax.checkpoint`` so the
+    backward pass recomputes block internals instead of storing them —
+    essential for the (256,128,128) flagship patch, whose f32 activations
+    otherwise exceed HBM and push XLA into a pathological auto-remat search.
+    """
     out_channels: int = 1
     ndim: int = 2
     filters: Sequence[int] = (16, 32, 64, 128, 256)
@@ -105,6 +117,8 @@ class MulResUnet(nn.Module):
     use_bias: bool = True
     upsample_mode: str = "nearest"
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -112,37 +126,43 @@ class MulResUnet(nn.Module):
             "filters must be one longer than skip (mulresunet.py:127)"
         n = len(self.filters)
         is3d = self.ndim == 3
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        Block = nn.remat(MultiResBlock) if self.remat else MultiResBlock
+        Path = nn.remat(ResPath) if self.remat else ResPath
         bkw = dict(ndim=self.ndim, alpha=self.alpha, act=self.act,
-                   use_bias=self.use_bias, drop=self.dropout, extra_norm=is3d)
+                   use_bias=self.use_bias, drop=self.dropout, extra_norm=is3d,
+                   dtype=self.dtype)
 
         def level(i: int, h: jnp.ndarray) -> jnp.ndarray:
             # skip branch (mulresunet 2D :155-158 / 3D :230-233)
             s = None
             if self.skip[i - 1] != 0:
-                s = ResPath(self.skip[i - 1], self.ndim, act=self.act,
-                            use_bias=self.use_bias, drop=self.dropout,
-                            norm_last=not is3d)(h)
+                s = Path(self.skip[i - 1], self.ndim, act=self.act,
+                         use_bias=self.use_bias, drop=self.dropout,
+                         norm_last=not is3d, dtype=self.dtype)(h)
             # stride-2 downsampling (2D :150-153 has no Norm; 3D :224-227 does)
             d = Conv(h.shape[-1], 3, stride=2, ndim=self.ndim,
-                     use_bias=self.use_bias)(h)
+                     use_bias=self.use_bias, dtype=self.dtype)(h)
             if is3d:
                 d = Norm()(d)
             d = get_activation(self.act)(d)
             d = Dropout(self.dropout)(d)
-            d = MultiResBlock(self.filters[i], **bkw)(d)  # encoder block
+            d = Block(self.filters[i], **bkw)(d)  # encoder block
             if i < n - 1:
                 d = level(i + 1, d)
             d = upsample(d, 2, self.upsample_mode)
             y = concat_crop([s, d]) if s is not None else d
-            return MultiResBlock(self.filters[i - 1], **bkw)(y)  # decoder block
+            return Block(self.filters[i - 1], **bkw)(y)  # decoder block
 
-        x = MultiResBlock(self.filters[0], **bkw)(x)  # full-res encoder block
+        x = Block(self.filters[0], **bkw)(x)  # full-res encoder block
         x = level(1, x)
         # output head: 1x1 conv in 2D (:178), 3x3 in 3D (:252)
         x = Conv(self.out_channels, 1 if self.ndim == 2 else 3,
-                 ndim=self.ndim, use_bias=self.use_bias)(x)
+                 ndim=self.ndim, use_bias=self.use_bias, dtype=self.dtype)(x)
         last = None if (isinstance(self.last_act, str)
                         and self.last_act.lower() == "none") else self.last_act
         if last is not None:
             x = get_activation(last)(x)
-        return x
+        return x.astype(in_dtype)
