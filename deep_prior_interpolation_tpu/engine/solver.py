@@ -34,7 +34,9 @@ the same step function vmaps/shard_maps over a batch of patches (see
 """
 from __future__ import annotations
 
+import json
 import math
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -409,10 +411,37 @@ class DIPSolver:
                                       donate_argnums=0)
         return self._jitted[s]
 
+    @staticmethod
+    def _save_checkpoint(path: str, carry, hist, chunk_idx: int,
+                         iters_run: int) -> None:
+        from ..io.checkpoint import save_solver_state
+        save_solver_state(path, carry)
+        # append host-side history + position into the same npz
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+        arrays["__meta__"] = np.asarray(
+            json.dumps({"chunk": chunk_idx, "iters_run": iters_run}))
+        for f in hist.FIELDS:
+            arrays[f"__hist_{f}__"] = np.asarray(getattr(hist, f), np.float64)
+        np.savez(path, **arrays)
+
     # -- public --------------------------------------------------------
     def solve(self, img: np.ndarray, mask: np.ndarray, seed: int = 0,
               init_params=None, key: Optional[jax.Array] = None,
-              verbose: bool = False) -> SolveResult:
+              verbose: bool = False,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 0,
+              profile_dir: Optional[str] = None) -> SolveResult:
+        """Optimise one patch.
+
+        ``checkpoint_path`` + ``checkpoint_every`` (in chunks) enable exact
+        mid-optimisation resume: the full carry — params, Adam moments, RNG
+        key, best output, scheduler/early-stop counters — plus the host
+        history is persisted, and a fresh ``solve`` with the same path picks
+        up where it left off (the reference can only restart Adam from saved
+        weights, SURVEY §5 checkpoint/resume). ``profile_dir`` captures a
+        jax.profiler trace of one steady-state chunk.
+        """
         cfg = self.cfg
         assert img.shape == mask.shape, "image and mask shapes must match"
         spatial = tuple(img.shape[:-1])
@@ -444,10 +473,33 @@ class DIPSolver:
         snapshots: Dict[int, np.ndarray] = {}
         start = time.time()
         iters_run = 0
+        start_chunk = 0
         stopped = False
-        for c in range(n_chunks):
+
+        # exact mid-optimisation resume
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            from ..io.checkpoint import load_solver_state
+            state = np.load(checkpoint_path, allow_pickle=True)
+            carry = load_solver_state(checkpoint_path, carry)
+            meta = json.loads(str(state["__meta__"])) if "__meta__" in state \
+                else {}
+            start_chunk = int(meta.get("chunk", 0))
+            iters_run = int(meta.get("iters_run", 0))
+            for f in hist.FIELDS:
+                if f"__hist_{f}__" in state:
+                    getattr(hist, f).extend(state[f"__hist_{f}__"].tolist())
+            # the saved run may have ended at its epoch budget; the step
+            # re-derives done from the (possibly larger) current budget
+            carry["done"] = jnp.zeros_like(carry["done"])
+
+        for c in range(start_chunk, n_chunks):
             iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
-            carry, ys = run_chunk(carry, iters, data, hyper)
+            if profile_dir and c == 1:
+                with jax.profiler.trace(profile_dir):
+                    carry, ys = run_chunk(carry, iters, data, hyper)
+                    jax.block_until_ready(ys["loss"])
+            else:
+                carry, ys = run_chunk(carry, iters, data, hyper)
             ys = jax.device_get(ys)
             n_rec = int(np.sum(ys["recorded"]))
             n_rec = min(n_rec, cfg.epochs - iters_run)
@@ -459,6 +511,10 @@ class DIPSolver:
             if save_every and end_iter % save_every == 0 and end_iter < cfg.epochs:
                 snapshots[end_iter] = np.asarray(
                     jax.device_get(carry["out_last"])[0], np.float32)
+            if checkpoint_path and checkpoint_every and \
+                    (c + 1) % checkpoint_every == 0:
+                self._save_checkpoint(checkpoint_path, carry, hist,
+                                      c + 1, iters_run)
             if bool(jax.device_get(carry["done"])):
                 stopped = iters_run < cfg.epochs
                 break

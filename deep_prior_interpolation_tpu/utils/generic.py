@@ -27,9 +27,14 @@ def enable_compile_cache(path: str = "/root/.cache/jax_compilation_cache") -> No
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT cache entries are machine-feature-sensitive and reload
+            # with SIGILL-risk warnings; the cache only pays off for the
+            # minutes-long TPU compiles anyway
+            _cache_enabled = True
+            return
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _cache_enabled = True
     except Exception:
         pass  # older jax without these flags: cache is an optimisation only
