@@ -59,3 +59,16 @@ class HistoryReg(History):
         return self.MSG % (str(idx + 1).zfill(self.zfill), self.loss[idx],
                            self.df[idx], self.reg[idx], self.snr[idx],
                            self.pcorr[idx] * 100)
+
+
+class HistoryPOCS(HistoryReg):
+    """+ adaptive-eps and threshold traces (utils/metrics.py:140-192)."""
+
+    FIELDS = ("loss", "df", "reg", "eps", "snr", "pcorr", "th", "lr")
+    MSG = ("Iter %s, loss=%.2e, df=%.2e, reg=%.2e, eps=%.2e, SNR=%+.2fdB, "
+           "th=%.2e")
+
+    def log_message(self, idx: int) -> str:
+        return self.MSG % (str(idx + 1).zfill(self.zfill), self.loss[idx],
+                           self.df[idx], self.reg[idx], self.eps[idx],
+                           self.snr[idx], self.th[idx])

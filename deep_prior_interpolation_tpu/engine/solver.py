@@ -52,7 +52,7 @@ from ..models import get_net, init_weights
 from ..ops import losses as L
 from ..ops.noise import build_forgetting_data, data_forgetting_weights, get_noise
 from ..ops.pocs import fk_projection
-from .history import History, HistoryReg
+from .history import History, HistoryPOCS, HistoryReg
 
 
 # ----------------------------------------------------------------------
@@ -169,9 +169,11 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
             out = _crop_center(out, s.orig_spatial)
             main = loss_fn(out, img, mask)
             if s.pocs:
-                proj = jax.lax.stop_gradient(
-                    fk_projection(out, data["pocs_wdata"], data["pocs_wmask"],
-                                  hyper["pocs_thresh"]))
+                proj, th = fk_projection(out, data["pocs_wdata"],
+                                         data["pocs_wmask"],
+                                         hyper["pocs_thresh"],
+                                         return_threshold=True)
+                proj = jax.lax.stop_gradient(proj)
                 reg = L.mse(out, proj)
                 if s.pocs_adaptive:
                     eps = jax.lax.stop_gradient(main / reg)
@@ -181,10 +183,11 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
             else:
                 reg = jnp.zeros_like(main)
                 eps = jnp.zeros_like(main)
+                th = jnp.zeros_like(main)
                 total = main
-            return total, (out, main, reg, eps)
+            return total, (out, main, reg, eps, th)
 
-        (loss, (out, main, reg, eps)), grads = jax.value_and_grad(
+        (loss, (out, main, reg, eps, th)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
 
         direction, opt_state = adam.update(grads, carry["opt_state"], params)
@@ -248,7 +251,7 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
         ys = {"loss": loss, "snr": snr_v, "pcorr": pcorr_v, "lr": carry["lr"],
               "recorded": ~done}
         if s.pocs:
-            ys.update({"df": main, "reg": reg, "eps": eps})
+            ys.update({"df": main, "reg": reg, "eps": eps, "th": th})
         return new_carry, ys
 
     def run_chunk(carry, iters, data, hyper):
@@ -469,7 +472,7 @@ class DIPSolver:
             chunk = math.gcd(chunk, int(save_every)) or 1
         n_chunks = math.ceil(cfg.epochs / chunk)
 
-        hist = HistoryReg(cfg.epochs) if s.pocs else History(cfg.epochs)
+        hist = HistoryPOCS(cfg.epochs) if s.pocs else History(cfg.epochs)
         snapshots: Dict[int, np.ndarray] = {}
         start = time.time()
         iters_run = 0

@@ -45,7 +45,8 @@ def compute_threshold(spec: jnp.ndarray, perc: float = 10.0):
 
 def fk_projection(x: jnp.ndarray, weighted_data: jnp.ndarray,
                   weighted_mask: jnp.ndarray, thresh_perc: float,
-                  axes: Optional[Sequence[int]] = None) -> jnp.ndarray:
+                  axes: Optional[Sequence[int]] = None,
+                  return_threshold: bool = False):
     """One POCS iteration: FFT -> threshold -> IFFT -> data re-insertion.
 
     ``weighted_data = alpha * data`` and ``weighted_mask = 1 - alpha * mask``
@@ -56,9 +57,13 @@ def fk_projection(x: jnp.ndarray, weighted_data: jnp.ndarray,
     if axes is None:
         axes = tuple(range(1, x.ndim - 1))
     spec = jnp.fft.fftn(x, axes=tuple(axes))
-    spec = threshold(spec, compute_threshold(spec, thresh_perc))
+    th = compute_threshold(spec, thresh_perc)
+    spec = threshold(spec, th)
     proj = jnp.fft.ifftn(spec, axes=tuple(axes)).real.astype(x.dtype)
-    return weighted_data + weighted_mask * proj
+    out = weighted_data + weighted_mask * proj
+    if return_threshold:
+        return out, th
+    return out
 
 
 def pocs_fk_fn(out: jnp.ndarray, data: jnp.ndarray, mask: jnp.ndarray,

@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..engine.history import History, HistoryReg
+from ..engine.history import History, HistoryPOCS, HistoryReg
 from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
                              build_base_input, build_data, build_hyper,
                              init_carry, make_run_chunk, pad_multiple_for,
@@ -115,7 +115,7 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
 
     chunk = max(1, min(cfg.scan_chunk, cfg.epochs))
     n_chunks = math.ceil(cfg.epochs / chunk)
-    hist_cls = HistoryReg if s.pocs else History
+    hist_cls = HistoryPOCS if s.pocs else History
     hists = [hist_cls(cfg.epochs) for _ in range(B)]
     iters_run = [0] * B
 

@@ -65,7 +65,19 @@ def test_pocs_engine(rng):
     solver = DIPSolver(cfg, outchannel=1)
     res = solver.solve(img, mask, seed=0)
     assert len(res.history.df) == 20 and len(res.history.reg) == 20
+    # HistoryPOCS parity: adaptive eps and f-k threshold traces
+    assert len(res.history.eps) == 20 and len(res.history.th) == 20
+    assert all(e > 0 for e in res.history.eps)
+    assert all(t > 0 for t in res.history.th)
     assert all(np.isfinite(res.history.loss))
+    assert "th=" in res.history.log_message(0)
+
+
+def test_pocs_fixed_weight(rng):
+    img, mask = synth_problem(rng)
+    cfg = tiny_cfg(epochs=10, pocs=True, pocs_weight=0.5)
+    res = DIPSolver(cfg, outchannel=1).solve(img, mask, seed=0)
+    np.testing.assert_allclose(res.history.eps, 0.5, rtol=1e-6)
 
 
 def test_transfer_init_params(rng):
