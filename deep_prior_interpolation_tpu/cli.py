@@ -95,8 +95,11 @@ def run(cfg: Config, results_root: str = "./results",
         elif cfg.start_from_prev and prev_params is not None:
             init_params = prev_params
 
-        res = solver.solve(img, mask, seed=cfg.seed + i,
-                           init_params=init_params, verbose=True)
+        res = solver.solve(
+            img, mask, seed=cfg.seed + i, init_params=init_params,
+            verbose=True,
+            profile_dir=os.path.join(outpath, "profile") if cfg.profile
+            else None)
         prev_params = res.params
         _log("\n" + sec2time(res.elapsed))
 
