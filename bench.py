@@ -90,7 +90,7 @@ def main() -> None:
     data = build_data(cfg, s, img, msk, base_input, solver.dtype)
     hyper = build_hyper(cfg)
     carry = init_carry(solver.model, s, cfg, k_model, base_input.shape, 1,
-                       None, solver.dtype)
+                       None, solver.dtype, base_input=base_input)
 
     # warmup chunk (compile + first run)
     carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32), data,

@@ -5,11 +5,13 @@ from .patcher import (PatchExtractor, cosinetaper, count_patches,
                       patch_array_shape, taper2d)
 from .pipeline import (extract_patches, get_patch_extractor,
                        reconstruct_patches, transpose_patches_25d)
+from .synthetic import decimated_pair, hyperbolic_events, source_wavelet
 
 __all__ = [
     "PatchExtractor", "cosinetaper", "count_patches", "flat_index_map",
     "hanningtaper", "in_content_cropped_shape", "mid_intensity_high_texture",
     "overlap_add", "patch_array_shape", "taper2d",
     "extract_patches", "get_patch_extractor", "reconstruct_patches",
-    "transpose_patches_25d",
+    "transpose_patches_25d", "decimated_pair", "hyperbolic_events",
+    "source_wavelet",
 ]

@@ -75,6 +75,7 @@ class StepSettings:
     pocs_adaptive: bool = True  # eps = main/reg vs fixed pocs_weight
     track_last: bool = False
     takes_mask: bool = False  # partial-conv nets take (x, mask)
+    opt_input: bool = False  # jointly optimise the input noise
     orig_spatial: Tuple[int, ...] = ()
 
     @classmethod
@@ -87,7 +88,9 @@ class StepSettings:
                    forget_factor=cfg.data_forgetting_factor,
                    pocs=cfg.pocs, pocs_adaptive=cfg.pocs_weight is None,
                    track_last=track_last,
-                   takes_mask=takes_mask, orig_spatial=tuple(orig_spatial))
+                   takes_mask=takes_mask,
+                   opt_input="input" in cfg.opt_over.split(","),
+                   orig_spatial=tuple(orig_spatial))
 
 
 def build_hyper(cfg: Config) -> Dict[str, jnp.ndarray]:
@@ -140,32 +143,38 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
 
     def step(data, hyper, carry, it):
         key, k_noise, k_param, k_drop = jax.random.split(carry["key"], 4)
-        inp = data["base_input"]
+        # per-iteration input perturbations — no gradient flows through them
+        base_shape = data["base_input"].shape
+        extra = jnp.zeros(base_shape, data["base_input"].dtype)
         if s.reg_noise_std > 0:
-            inp = inp + s.reg_noise_std * jax.random.normal(
-                k_noise, inp.shape, inp.dtype)
+            extra = extra + s.reg_noise_std * jax.random.normal(
+                k_noise, base_shape, extra.dtype)
         if s.forget_factor > 0:
             idx = jnp.minimum(it, s.forget_factor - 1)
             w = jnp.where(it < s.forget_factor, data["forget_w"][idx], 0.0)
-            inp = inp + w * data["forget_data"]
+            extra = extra + w * data["forget_data"]
 
-        params = carry["params"]
+        params = carry["params"]  # {"net": ..., optional "input": ...}
         if s.param_noise:
-            leaves, treedef = jax.tree_util.tree_flatten(params)
+            net_p = params["net"]
+            leaves, treedef = jax.tree_util.tree_flatten(net_p)
             pkeys = jax.random.split(k_param, len(leaves))
             leaves = [p + jax.random.normal(k, p.shape, p.dtype) * jnp.std(p) * 0.02
                       if p.ndim >= 4 else p for p, k in zip(leaves, pkeys)]
-            params = jax.tree_util.tree_unflatten(treedef, leaves)
+            params = dict(params,
+                          net=jax.tree_util.tree_unflatten(treedef, leaves))
 
         img, mask = data["img"], data["mask"]
 
         def loss_of(p):
             rngs = {"dropout": k_drop} if s.dropout > 0 else None
+            base = p["input"] if s.opt_input else data["base_input"]
+            inp = base + extra
             if s.takes_mask:  # partial-conv nets (SURVEY §2.4 #8, fixed here)
-                out = model.apply({"params": p}, inp, data["net_mask"],
+                out = model.apply({"params": p["net"]}, inp, data["net_mask"],
                                   rngs=rngs)
             else:
-                out = model.apply({"params": p}, inp, rngs=rngs)
+                out = model.apply({"params": p["net"]}, inp, rngs=rngs)
             out = _crop_center(out, s.orig_spatial)
             main = loss_fn(out, img, mask)
             if s.pocs:
@@ -276,8 +285,15 @@ def padded_spatial(spatial: Tuple[int, ...], mult: int) -> Tuple[int, ...]:
 
 def init_carry(model, s: StepSettings, cfg: Config, key: jax.Array,
                input_shape: Tuple[int, ...], out_channels: int,
-               init_params=None, dtype=jnp.float32) -> Dict[str, Any]:
-    """Fresh solver carry: params (+ chosen init), Adam state, trackers."""
+               init_params=None, dtype=jnp.float32,
+               base_input: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
+    """Fresh solver carry: params (+ chosen init), Adam state, trackers.
+
+    ``init_params`` are NET params (transfer learning). With
+    ``opt_over='net,input'`` the optimised pytree also carries the input
+    noise canvas (``base_input`` required), matching the reference's
+    ``get_params('net,input', ...)`` capability (utils/torch.py:138-162).
+    """
     k_init, k_winit, key = jax.random.split(key, 3)
     if init_params is None:
         dummy = jnp.zeros(input_shape, dtype)
@@ -286,10 +302,14 @@ def init_carry(model, s: StepSettings, cfg: Config, key: jax.Array,
             variables = model.init(rngs, dummy, jnp.ones_like(dummy))
         else:
             variables = model.init(rngs, dummy)
-        params = variables["params"]
-        params = init_weights(params, k_winit, cfg.inittype, cfg.initgain)
+        net_params = variables["params"]
+        net_params = init_weights(net_params, k_winit, cfg.inittype, cfg.initgain)
     else:
-        params = init_params
+        net_params = init_params
+    params: Dict[str, Any] = {"net": net_params}
+    if s.opt_input:
+        assert base_input is not None, "opt_over='input' needs base_input"
+        params["input"] = base_input
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     opt_state = adam.init(params)
     out_shape = (input_shape[0],) + tuple(s.orig_spatial) + (out_channels,)
@@ -465,7 +485,8 @@ class DIPSolver:
         data = build_data(cfg, s, img, mask, base_input, self.dtype)
         hyper = build_hyper(cfg)
         carry = init_carry(self.model, s, cfg, k_model, base_input.shape,
-                           self.outchannel, init_params, self.dtype)
+                           self.outchannel, init_params, self.dtype,
+                           base_input=base_input)
 
         chunk = max(1, min(cfg.scan_chunk, cfg.epochs))
         if save_every:
@@ -525,6 +546,6 @@ class DIPSolver:
 
         out_best = np.asarray(jax.device_get(carry["out_best"])[0], np.float32)
         return SolveResult(out_best=out_best, history=hist,
-                           params=carry["params"], elapsed=elapsed,
+                           params=carry["params"]["net"], elapsed=elapsed,
                            iters_run=iters_run, stopped_early=stopped,
                            snapshots=snapshots)

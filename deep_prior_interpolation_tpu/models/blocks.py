@@ -185,6 +185,35 @@ def downsample_pool(x: jnp.ndarray, factor: int, mode: str) -> jnp.ndarray:
     return y[0]
 
 
+def symmetry(x: jnp.ndarray, axes: Sequence[int] = (-3, -2)) -> jnp.ndarray:
+    """Symmetrise over the two given (spatial) axes: (x + x^T)/2
+    (parity: Symmetry module, base.py:365-370, which acts on the last two
+    NCHW dims; channels-last spatial dims default to (-3, -2))."""
+    return (x + jnp.swapaxes(x, axes[0], axes[1])) / 2
+
+
+def resample_kernel_1d(factor: int, kernel_type: str,
+                       support: Optional[int] = None,
+                       sigma: Optional[float] = None) -> jnp.ndarray:
+    """1-D half-phase anti-aliasing taps: lanczos / gauss / box
+    (parity: get_kernel, base.py:6-66, separable form). Normalised to
+    unit sum."""
+    if kernel_type.startswith("lanczos"):
+        support = support or int(kernel_type[-1]) if kernel_type[-1].isdigit() \
+            else (support or 2)
+        return lanczos_kernel_1d(factor, support)
+    if kernel_type == "box":
+        w = jnp.ones((factor,), jnp.float32)
+        return w / jnp.sum(w)
+    if kernel_type.startswith("gauss"):
+        sigma = sigma if sigma is not None else 0.5
+        width = 2 * factor + 1
+        n = jnp.arange(width, dtype=jnp.float32) - (width - 1) / 2.0
+        w = jnp.exp(-(n ** 2) / (2 * sigma * sigma))
+        return w / jnp.sum(w)
+    raise ValueError(f"wrong resampling kernel name '{kernel_type}'")
+
+
 def lanczos_kernel_1d(factor: int, support: int) -> jnp.ndarray:
     """1-D Lanczos resampling taps (parity: get_kernel, base.py:33-58).
 

@@ -103,7 +103,8 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
                                 base_input, solver.dtype))
         carries.append(init_carry(solver.model, s, cfg, k_model,
                                   base_input.shape, solver.outchannel,
-                                  None, solver.dtype))
+                                  None, solver.dtype,
+                                  base_input=base_input))
     carry = _tree_stack(carries)
     data = _tree_stack(datas)
     hyper = build_hyper(cfg)
@@ -136,7 +137,8 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     out_best = np.asarray(jax.device_get(carry["out_best"]), np.float32)
     results = []
     for b in range(n_real):
-        params_b = jax.tree_util.tree_map(lambda x: x[b], carry["params"])
+        params_b = jax.tree_util.tree_map(lambda x: x[b],
+                                          carry["params"]["net"])
         results.append(SolveResult(
             out_best=out_best[b, 0], history=hists[b], params=params_b,
             elapsed=elapsed / B, iters_run=iters_run[b],
