@@ -51,3 +51,18 @@ def test_resample_kernels():
         assert k.sum() == pytest.approx(1.0, abs=1e-5)
     with pytest.raises(ValueError):
         resample_kernel_1d(2, "nope")
+
+
+def test_layout_converters(rng):
+    from deep_prior_interpolation_tpu.utils import (batch_channel_add,
+                                                    batch_channel_del,
+                                                    nchw_to_nhwc,
+                                                    nhwc_to_nchw,
+                                                    to_channels_first,
+                                                    to_channels_last)
+    x = rng.randn(3, 8, 9).astype(np.float32)  # (C, H, W)
+    np.testing.assert_array_equal(to_channels_first(to_channels_last(x)), x)
+    b = rng.randn(2, 3, 8, 9).astype(np.float32)
+    np.testing.assert_array_equal(nhwc_to_nchw(nchw_to_nhwc(b)), b)
+    v = rng.randn(8, 9).astype(np.float32)
+    np.testing.assert_array_equal(batch_channel_del(batch_channel_add(v)), v)
