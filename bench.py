@@ -64,6 +64,7 @@ def main() -> None:
     # auto-rematerialisation search at compile time
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "2"))
 
     vol = synth_hyperbolic(nt, nx, ny)
     rng = np.random.RandomState(1)
@@ -75,7 +76,7 @@ def main() -> None:
                  lr=1e-3, inputdepth=64, filters=[16, 32, 64, 128, 256],
                  skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
                  reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
-                 remat=remat)
+                 remat=remat, remat_levels=remat_levels)
 
     solver = DIPSolver(cfg, outchannel=1)
     spatial = tuple(img.shape[:-1])

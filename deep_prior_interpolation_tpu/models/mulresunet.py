@@ -119,6 +119,7 @@ class MulResUnet(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    remat_levels: Optional[int] = None  # None -> all levels; N -> largest N
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,13 +130,22 @@ class MulResUnet(nn.Module):
         in_dtype = x.dtype
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        Block = nn.remat(MultiResBlock) if self.remat else MultiResBlock
-        Path = nn.remat(ResPath) if self.remat else ResPath
+
+        def blocks_for(level_idx: int):
+            """Checkpointed blocks on the largest (most memory-hungry)
+            scales only; deeper scales are cheap to store."""
+            use = self.remat and (self.remat_levels is None
+                                  or level_idx < self.remat_levels)
+            if use:
+                return nn.remat(MultiResBlock), nn.remat(ResPath)
+            return MultiResBlock, ResPath
+
         bkw = dict(ndim=self.ndim, alpha=self.alpha, act=self.act,
                    use_bias=self.use_bias, drop=self.dropout, extra_norm=is3d,
                    dtype=self.dtype)
 
         def level(i: int, h: jnp.ndarray) -> jnp.ndarray:
+            Block, Path = blocks_for(i)
             # skip branch (mulresunet 2D :155-158 / 3D :230-233)
             s = None
             if self.skip[i - 1] != 0:
@@ -156,7 +166,8 @@ class MulResUnet(nn.Module):
             y = concat_crop([s, d]) if s is not None else d
             return Block(self.filters[i - 1], **bkw)(y)  # decoder block
 
-        x = Block(self.filters[0], **bkw)(x)  # full-res encoder block
+        Block0, _ = blocks_for(0)
+        x = Block0(self.filters[0], **bkw)(x)  # full-res encoder block
         x = level(1, x)
         # output head: 1x1 conv in 2D (:178), 3x3 in 3D (:252)
         x = Conv(self.out_channels, 1 if self.ndim == 2 else 3,
