@@ -338,8 +338,13 @@ def build_base_input(cfg: Config, key: jax.Array, padded: Tuple[int, ...],
 
     Optional shaping: 1-D wavelet convolution along time (main.py:66-72) and
     4th-order Butterworth low-pass (main.py:74-84), both along the first
-    spatial axis.
+    spatial axis. When the net computes in bfloat16 the canvas is stored in
+    bfloat16 too — it is the largest single tensor of the 3D workload
+    (inputdepth x volume, ~1 GB at the flagship shape in f32) and it feeds
+    straight into a bf16 conv.
     """
+    if cfg.dtype == "bfloat16":
+        dtype = jnp.bfloat16
     noise = get_noise(key, (1,) + tuple(padded) + (cfg.inputdepth,),
                       cfg.noise_dist, dtype)
     inp = noise * cfg.noise_std

@@ -50,3 +50,12 @@ def test_show_results_end_to_end(tmp_path, rng):
     assert outputs.shape == vol.shape
     assert "snr" in summary and summary["n_patches"] == 1
     assert os.path.exists(os.path.join(outpath, "curves.png"))
+
+
+def test_seismograms_wiggle(rng):
+    import matplotlib.pyplot as plt
+    from deep_prior_interpolation_tpu.utils.plotting import seismograms
+    fig, ax = plt.subplots()
+    seismograms(rng.randn(64, 8).astype(np.float32), ax, gain=0.5)
+    assert len(ax.collections) > 0  # fill_betweenx drew the wiggles
+    plt.close(fig)
