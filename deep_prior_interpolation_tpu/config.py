@@ -97,6 +97,7 @@ class Config:
     dtype: str = "float32"  # float32 | bfloat16 (compute dtype of the net)
     remat: bool = False  # checkpoint multi-res blocks (large 3D patches)
     remat_levels: int = 0  # 0 -> all levels; N -> only the largest N scales
+    virtual_input: bool = False  # regenerate input noise per step (saves HBM)
     profile: bool = False  # capture a jax.profiler trace of one chunk
     opt_over: str = "net"  # comma list: net,input (utils/torch.py:138-162)
     pad_multiple: int = 0  # 0 -> auto: 2**(n_scales-1); 1 -> no padding
@@ -209,6 +210,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--remat_levels", type=int, default=0)
+    p.add_argument("--virtual_input", action="store_true", default=False)
     p.add_argument("--profile", action="store_true", default=False)
     p.add_argument("--opt_over", type=str, default="net")
     p.add_argument("--pad_multiple", type=int, default=0)

@@ -77,11 +77,26 @@ class StepSettings:
     takes_mask: bool = False  # partial-conv nets take (x, mask)
     opt_input: bool = False  # jointly optimise the input noise
     orig_spatial: Tuple[int, ...] = ()
+    # virtual input: regenerate the fixed noise canvas from its PRNG key
+    # every iteration instead of storing it — saves inputdepth x volume HBM
+    # (~0.5 GB at the flagship 3D shape) for one extra RNG draw per step.
+    # Only valid when the canvas is raw noise (no wavelet/low-pass shaping,
+    # no input optimisation).
+    virtual_input: bool = False
+    noise_dist: str = "n"
+    noise_std: float = 0.1
+    input_shape: Tuple[int, ...] = ()
+    input_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, cfg: Config, orig_spatial: Tuple[int, ...],
                     track_last: bool = False,
-                    takes_mask: bool = False) -> "StepSettings":
+                    takes_mask: bool = False,
+                    input_shape: Tuple[int, ...] = ()) -> "StepSettings":
+        opt_input = "input" in cfg.opt_over.split(",")
+        shaped = (cfg.filter_noise_with_wavelet
+                  or (cfg.lowpass_fs and cfg.lowpass_fc)
+                  or cfg.data_forgetting_factor)
         return cls(loss=cfg.loss,
                    reg_noise_std=cfg.reg_noise_std,
                    param_noise=cfg.param_noise, dropout=cfg.dropout,
@@ -89,7 +104,12 @@ class StepSettings:
                    pocs=cfg.pocs, pocs_adaptive=cfg.pocs_weight is None,
                    track_last=track_last,
                    takes_mask=takes_mask,
-                   opt_input="input" in cfg.opt_over.split(","),
+                   opt_input=opt_input,
+                   virtual_input=(cfg.virtual_input and not opt_input
+                                  and not shaped),
+                   noise_dist=cfg.noise_dist, noise_std=cfg.noise_std,
+                   input_shape=tuple(input_shape),
+                   input_dtype=cfg.dtype,
                    orig_spatial=tuple(orig_spatial))
 
 
@@ -143,9 +163,14 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
 
     def step(data, hyper, carry, it):
         key, k_noise, k_param, k_drop = jax.random.split(carry["key"], 4)
+        if s.virtual_input:
+            base_shape = s.input_shape
+            base_dtype = jnp.dtype(s.input_dtype)
+        else:
+            base_shape = data["base_input"].shape
+            base_dtype = data["base_input"].dtype
         # per-iteration input perturbations — no gradient flows through them
-        base_shape = data["base_input"].shape
-        extra = jnp.zeros(base_shape, data["base_input"].dtype)
+        extra = jnp.zeros(base_shape, base_dtype)
         if s.reg_noise_std > 0:
             extra = extra + s.reg_noise_std * jax.random.normal(
                 k_noise, base_shape, extra.dtype)
@@ -165,10 +190,21 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
                           net=jax.tree_util.tree_unflatten(treedef, leaves))
 
         img, mask = data["img"], data["mask"]
+        if s.virtual_input:
+            fixed_base = get_noise(data["input_key"], s.input_shape,
+                                   s.noise_dist,
+                                   jnp.dtype(s.input_dtype)) * s.noise_std
+        else:
+            fixed_base = None
 
         def loss_of(p):
             rngs = {"dropout": k_drop} if s.dropout > 0 else None
-            base = p["input"] if s.opt_input else data["base_input"]
+            if s.opt_input:
+                base = p["input"]
+            elif s.virtual_input:
+                base = fixed_base
+            else:
+                base = data["base_input"]
             inp = base + extra
             if s.takes_mask:  # partial-conv nets (SURVEY §2.4 #8, fixed here)
                 out = model.apply({"params": p["net"]}, inp, data["net_mask"],
@@ -313,13 +349,16 @@ def init_carry(model, s: StepSettings, cfg: Config, key: jax.Array,
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     opt_state = adam.init(params)
     out_shape = (input_shape[0],) + tuple(s.orig_spatial) + (out_channels,)
+    # best-output tracker matches the net's output dtype (bf16 nets emit
+    # bf16); halves the largest carry tensor on the flagship 3D shape
+    out_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else dtype
     carry = {
         "params": params,
         "opt_state": opt_state,
         "key": key,
         "lr": jnp.asarray(cfg.lr, jnp.float32),
         "loss_min": jnp.asarray(jnp.inf, jnp.float32),
-        "out_best": jnp.zeros(out_shape, dtype),
+        "out_best": jnp.zeros(out_shape, out_dtype),
         "plateau_best": jnp.asarray(jnp.inf, jnp.float32),
         "plateau_bad": jnp.asarray(0, jnp.int32),
         "es_best": jnp.asarray(0.0, jnp.float32),
@@ -327,7 +366,7 @@ def init_carry(model, s: StepSettings, cfg: Config, key: jax.Array,
         "done": jnp.asarray(False),
     }
     if s.track_last:
-        carry["out_last"] = jnp.zeros(out_shape, dtype)
+        carry["out_last"] = jnp.zeros(out_shape, out_dtype)
     return carry
 
 
@@ -363,11 +402,20 @@ def build_base_input(cfg: Config, key: jax.Array, padded: Tuple[int, ...],
 
 
 def build_data(cfg: Config, s: StepSettings, img: np.ndarray, mask: np.ndarray,
-               base_input: jnp.ndarray, dtype=jnp.float32) -> Dict[str, Any]:
-    """Assemble the per-patch data dict consumed by ``run_chunk``."""
+               base_input: Optional[jnp.ndarray], dtype=jnp.float32,
+               input_key: Optional[jax.Array] = None) -> Dict[str, Any]:
+    """Assemble the per-patch data dict consumed by ``run_chunk``.
+
+    With ``s.virtual_input`` only the noise PRNG key is stored; the canvas is
+    regenerated inside the step (saves inputdepth x volume HBM).
+    """
     img_ = jnp.asarray(img, dtype)[None]   # (1, *spatial, C)
     mask_ = jnp.asarray(mask, dtype)[None]
-    data = {"img": img_, "mask": mask_, "base_input": base_input}
+    if s.virtual_input:
+        assert input_key is not None
+        data = {"img": img_, "mask": mask_, "input_key": input_key}
+    else:
+        data = {"img": img_, "mask": mask_, "base_input": base_input}
     if s.forget_factor > 0:
         fd = build_forgetting_data(img_ * mask_, cfg.inputdepth)
         fd = fd * (jnp.std(base_input) / jnp.std(fd))
@@ -385,11 +433,12 @@ def build_data(cfg: Config, s: StepSettings, img: np.ndarray, mask: np.ndarray,
         data["pocs_wmask"] = jnp.ones_like(mask_) - cfg.pocs_alpha * mask_
     if s.takes_mask:
         # sampling mask broadcast to the noise depth on the padded canvas
+        canvas = base_input.shape if base_input is not None else s.input_shape
         c = mask_.shape[-1]
         reps = -(-cfg.inputdepth // c)
         nm = jnp.tile(mask_, (1,) * (mask_.ndim - 1) + (reps,))[..., :cfg.inputdepth]
         pads = [(0, 0)]
-        for dim, tgt in zip(nm.shape[1:-1], base_input.shape[1:-1]):
+        for dim, tgt in zip(nm.shape[1:-1], canvas[1:-1]):
             d = (tgt - dim) // 2
             pads.append((d, tgt - dim - d))
         pads.append((0, 0))
@@ -477,19 +526,26 @@ class DIPSolver:
         padded = padded_spatial(spatial, mult)
 
         save_every = cfg.save_every
+        input_shape = (1,) + padded + (cfg.inputdepth,)
         s = StepSettings.from_config(
             cfg, spatial, track_last=save_every is not None,
-            takes_mask=getattr(self.model, "takes_mask", False))
+            takes_mask=getattr(self.model, "takes_mask", False),
+            input_shape=input_shape)
         run_chunk = self._get_run_chunk(s)
 
         if key is None:
             key = jax.random.PRNGKey(seed)
         k_noise, k_model, key = jax.random.split(key, 3)
 
-        base_input = build_base_input(cfg, k_noise, padded, self.dtype)
-        data = build_data(cfg, s, img, mask, base_input, self.dtype)
+        if s.virtual_input:
+            base_input = None
+            data = build_data(cfg, s, img, mask, None, self.dtype,
+                              input_key=k_noise)
+        else:
+            base_input = build_base_input(cfg, k_noise, padded, self.dtype)
+            data = build_data(cfg, s, img, mask, base_input, self.dtype)
         hyper = build_hyper(cfg)
-        carry = init_carry(self.model, s, cfg, k_model, base_input.shape,
+        carry = init_carry(self.model, s, cfg, k_model, input_shape,
                            self.outchannel, init_params, self.dtype,
                            base_input=base_input)
 

@@ -74,9 +74,13 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
             patches = patches + [patches[-1]]
 
     B = len(patches)
+    mult0 = pad_multiple_for(cfg)
+    padded0 = padded_spatial(spatial, mult0)
+    input_shape = (1,) + padded0 + (cfg.inputdepth,)
     s = StepSettings.from_config(
         cfg, spatial, track_last=False,
-        takes_mask=getattr(solver.model, "takes_mask", False))
+        takes_mask=getattr(solver.model, "takes_mask", False),
+        input_shape=input_shape)
     run_chunk = make_run_chunk(solver.model, s)
     batched = jax.vmap(run_chunk, in_axes=(0, None, 0, None))
     if mesh is not None:
@@ -98,11 +102,16 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     for i, patch in enumerate(patches):
         key = jax.random.PRNGKey(cfg.seed + i)
         k_noise, k_model = jax.random.split(key)
-        base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
-        datas.append(build_data(cfg, s, patch["image"], patch["mask"],
-                                base_input, solver.dtype))
+        if s.virtual_input:
+            base_input = None
+            datas.append(build_data(cfg, s, patch["image"], patch["mask"],
+                                    None, solver.dtype, input_key=k_noise))
+        else:
+            base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
+            datas.append(build_data(cfg, s, patch["image"], patch["mask"],
+                                    base_input, solver.dtype))
         carries.append(init_carry(solver.model, s, cfg, k_model,
-                                  base_input.shape, solver.outchannel,
+                                  input_shape, solver.outchannel,
                                   None, solver.dtype,
                                   base_input=base_input))
     carry = _tree_stack(carries)
