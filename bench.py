@@ -73,37 +73,52 @@ def main() -> None:
     msk = mask[..., None]
 
     virtual = os.environ.get("BENCH_VIRTUAL", "1") == "1"
-    cfg = Config(datadim="3d", epochs=iters_timed + 2 * chunk, loss="mae",
-                 lr=1e-3, inputdepth=64, filters=[16, 32, 64, 128, 256],
-                 skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
-                 reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
-                 remat=remat, remat_levels=remat_levels,
-                 virtual_input=virtual)
-
-    solver = DIPSolver(cfg, outchannel=1)
-    spatial = tuple(img.shape[:-1])
     import jax.numpy as jnp
-    key = jax.random.PRNGKey(0)
-    k_noise, k_model = jax.random.split(key)
-    padded = padded_spatial(spatial, pad_multiple_for(cfg))
-    input_shape = (1,) + padded + (cfg.inputdepth,)
-    s = StepSettings.from_config(cfg, spatial, input_shape=input_shape)
-    run_chunk = solver._get_run_chunk(s)
-    if s.virtual_input:
-        base_input = None
-        data = build_data(cfg, s, img, msk, None, solver.dtype,
-                          input_key=k_noise)
-    else:
-        base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
-        data = build_data(cfg, s, img, msk, base_input, solver.dtype)
-    hyper = build_hyper(cfg)
-    carry = init_carry(solver.model, s, cfg, k_model, input_shape, 1,
-                       None, solver.dtype, base_input=base_input)
 
-    # warmup chunk (compile + first run)
-    carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32), data,
-                          hyper)
-    jax.block_until_ready(ys["loss"])
+    def setup(remat_lv):
+        cfg = Config(datadim="3d", epochs=iters_timed + 2 * chunk, loss="mae",
+                     lr=1e-3, inputdepth=64, filters=[16, 32, 64, 128, 256],
+                     skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
+                     reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
+                     remat=remat, remat_levels=remat_lv,
+                     virtual_input=virtual)
+        solver = DIPSolver(cfg, outchannel=1)
+        spatial = tuple(img.shape[:-1])
+        key = jax.random.PRNGKey(0)
+        k_noise, k_model = jax.random.split(key)
+        padded = padded_spatial(spatial, pad_multiple_for(cfg))
+        input_shape = (1,) + padded + (cfg.inputdepth,)
+        s = StepSettings.from_config(cfg, spatial, input_shape=input_shape)
+        run_chunk = solver._get_run_chunk(s)
+        if s.virtual_input:
+            base_input = None
+            data = build_data(cfg, s, img, msk, None, solver.dtype,
+                              input_key=k_noise)
+        else:
+            base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
+            data = build_data(cfg, s, img, msk, base_input, solver.dtype)
+        hyper = build_hyper(cfg)
+        carry = init_carry(solver.model, s, cfg, k_model, input_shape, 1,
+                           None, solver.dtype, base_input=base_input)
+        return run_chunk, carry, data, hyper
+
+    # warmup chunk (compile + first run); on HBM overflow fall back to
+    # checkpointing more scales (cheaper memory, more recompute)
+    fallbacks = [remat_levels, 3, 0]
+    seen = set()
+    for i, lv in enumerate(x for x in fallbacks
+                           if not (x in seen or seen.add(x))):
+        try:
+            run_chunk, carry, data, hyper = setup(lv)
+            carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32),
+                                  data, hyper)
+            jax.block_until_ready(ys["loss"])
+            break
+        except Exception as e:  # noqa: BLE001 — OOM-driven retry
+            if "memory" not in str(e).lower() or lv == 0:
+                raise
+            print(f"remat_levels={lv} overflowed HBM, retrying deeper",
+                  file=sys.stderr, flush=True)
 
     # timed steady-state chunks
     n_chunks = max(1, iters_timed // chunk)
