@@ -64,7 +64,10 @@ def main() -> None:
     # auto-rematerialisation search at compile time
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
-    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "2"))
+    # measured on v5e: levels=3 fits HBM and runs 1.54 s/iter; levels=0
+    # (remat everything) also fits but memory-pressure copies make it 2.2x
+    # slower; levels=2 overflows by ~0.5 GB
+    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "3"))
 
     vol = synth_hyperbolic(nt, nx, ny)
     rng = np.random.RandomState(1)
@@ -104,10 +107,11 @@ def main() -> None:
 
     # warmup chunk (compile + first run); on HBM overflow fall back to
     # checkpointing more scales (cheaper memory, more recompute)
-    fallbacks = [remat_levels, 3, 0]
-    seen = set()
-    for i, lv in enumerate(x for x in fallbacks
-                           if not (x in seen or seen.add(x))):
+    fallbacks = []
+    for x in [remat_levels, 3, 0]:
+        if x not in fallbacks:
+            fallbacks.append(x)
+    for lv in fallbacks:
         try:
             run_chunk, carry, data, hyper = setup(lv)
             carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32),

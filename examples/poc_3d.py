@@ -32,7 +32,8 @@ cfg = dpi.Config(
     imgdir=".", outdir="poc_3d", datadim="3d", gain=40.0, epochs=EPOCHS,
     loss="mae", lr=1e-3, inputdepth=64, upsample="linear",
     reg_noise_std=0.03, noise_std=0.1, savemodel=True,
-    dtype="bfloat16", remat=True)  # HBM-safe fast path for the full patch
+    dtype="bfloat16", remat=True, remat_levels=3,
+    virtual_input=True)  # HBM-safe fast path for the full patch
 
 outpath = run(cfg, results_root="./results", original=vol, corrupted=mask)
 outputs, summary = show_results(outpath, curves=1, savefig=True, original=vol)
