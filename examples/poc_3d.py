@@ -33,7 +33,7 @@ cfg = dpi.Config(
     loss="mae", lr=1e-3, inputdepth=64, upsample="linear",
     reg_noise_std=0.03, noise_std=0.1, savemodel=True,
     dtype="bfloat16", remat=True, remat_levels=3,
-    virtual_input=True)  # HBM-safe fast path for the full patch
+    virtual_input=True, scan_chunk=25)  # HBM-safe fast path for the full patch
 
 outpath = run(cfg, results_root="./results", original=vol, corrupted=mask)
 outputs, summary = show_results(outpath, curves=1, savefig=True, original=vol)
