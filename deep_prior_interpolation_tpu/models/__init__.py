@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from ..config import Config
 from .blocks import (Conv, ConvNormAct, Dropout, Norm, concat_crop,
-                     get_activation, lanczos_downsample, upsample)
+                     get_activation, lanczos_downsample, resample_kernel_1d,
+                     symmetry, upsample)
 from .init import init_weights
 from .mulresunet import MulResUnet, MultiResBlock, ResPath, multires_width
 from .skip import SkipNet
@@ -27,7 +28,7 @@ __all__ = [
     "SkipNet", "AttMulResUnet", "AttentionUnet", "CBAM", "ChannelGate",
     "GridAttentionBlock", "SpatialGate", "PartialBlock", "PartialConv",
     "PartialUNet", "InstanceNorm", "UNet", "ConvGRUCell", "Decoder",
-    "Encoder", "Ensemble",
+    "Encoder", "Ensemble", "resample_kernel_1d", "symmetry",
 ]
 
 
