@@ -239,8 +239,9 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
         new_params = jax.tree_util.tree_map(
             lambda p, d: p - carry["lr"] * d, params, direction)
 
-        snr_v = L.snr(out, img)
-        pcorr_v = L.pcorr(out, img)
+        out32 = out.astype(jnp.float32)  # metric sums in f32 (bf16 nets)
+        snr_v = L.snr(out32, img)
+        pcorr_v = L.pcorr(out32, img)
 
         done = carry["done"]
         better = (loss <= carry["loss_min"]) & ~done
