@@ -66,3 +66,29 @@ def test_layout_converters(rng):
     np.testing.assert_array_equal(nhwc_to_nchw(nchw_to_nhwc(b)), b)
     v = rng.randn(8, 9).astype(np.float32)
     np.testing.assert_array_equal(batch_channel_del(batch_channel_add(v)), v)
+
+
+def test_virtual_input_matches_materialized(rng):
+    """virtual_input regenerates the canvas from the same key -> identical
+    trajectory to the materialized-canvas path."""
+    import jax
+    from deep_prior_interpolation_tpu.engine import DIPSolver
+
+    t = np.linspace(0, 1, 24)[:, None]
+    x = np.linspace(0, 1, 16)[None, :]
+    img = np.sin(2 * np.pi * (3 * t + 2 * x)).astype(np.float32)[..., None]
+    mask = np.repeat((rng.rand(1, 16) > 0.5).astype(np.float32), 24, 0)[..., None]
+
+    base = dict(datadim="2d", epochs=10, inputdepth=4, filters=[8, 16],
+                skip=[4], scan_chunk=5, gain=1.0)
+    key = jax.random.PRNGKey(7)
+    r_mat = DIPSolver(Config(**base, virtual_input=False), 1).solve(
+        img, mask, key=key)
+    r_vir = DIPSolver(Config(**base, virtual_input=True), 1).solve(
+        img, mask, key=key)
+    # identical canvas -> identical first-chunk losses; later iterations
+    # accumulate fp fusion-order noise through the chaotic DIP trajectory
+    np.testing.assert_allclose(r_vir.history.loss[:5], r_mat.history.loss[:5],
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(r_vir.history.loss[5:], r_mat.history.loss[5:],
+                               rtol=0.15, atol=1e-3)
