@@ -15,6 +15,12 @@ TPU-native design is:
 
 Early stopping composes: each patch freezes through its ``done`` flag and the
 host breaks out of the chunk loop when every patch in the batch is done.
+
+Sizing guidance (measured on v5e): vmapping per-patch conv KERNELS produces
+grouped convolutions, which run ~3x slower per patch than a single-patch
+program on one chip — so set ``batch_patches == mesh_shape`` (one patch per
+device, local vmap width 1). Multi-patch-per-chip batching only pays when
+patches are small enough that a single patch underutilises the chip.
 """
 from __future__ import annotations
 
