@@ -47,6 +47,8 @@ def synth_hyperbolic(nt=256, nx=128, ny=128, seed=0) -> np.ndarray:
 
 def main() -> None:
     import jax
+    if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu, for CI smoke tests
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     from deep_prior_interpolation_tpu.config import Config
     from deep_prior_interpolation_tpu.engine import (DIPSolver, StepSettings,
                                                      build_base_input,
