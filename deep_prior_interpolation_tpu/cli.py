@@ -56,8 +56,8 @@ def run(cfg: Config, results_root: str = "./results",
     solver = DIPSolver(cfg, outchannel=outchannel)
 
     if cfg.batch_patches and cfg.batch_patches > 1 and not cfg.start_from_prev:
-        from .parallel import solve_patches_batched
         _run_batched(cfg, solver, patches, outpath, done)
+        _log(f"Interpolation done! Saved to {outpath}")
         return outpath
 
     prev_params = None
@@ -84,8 +84,7 @@ def run(cfg: Config, results_root: str = "./results",
             template = solver.model  # build a template pytree for loading
             import jax
             import jax.numpy as jnp
-            from .engine.solver import (build_base_input, pad_multiple_for,
-                                        padded_spatial)
+            from .engine.solver import pad_multiple_for, padded_spatial
             padded = padded_spatial(img.shape[:-1], pad_multiple_for(cfg))
             dummy = jnp.zeros((1,) + padded + (cfg.inputdepth,))
             tmpl = template.init(jax.random.PRNGKey(0), dummy)["params"]
