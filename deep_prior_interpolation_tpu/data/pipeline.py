@@ -30,8 +30,15 @@ from .patcher import PatchExtractor, patch_array_shape
 def get_patch_extractor(in_shape: tuple, patch_shape, patch_stride,
                         datadim: str, imgchannel: Optional[int] = None
                         ) -> PatchExtractor:
-    """Resolve -1 extents and build the extractor (parity: data.py:8-17)."""
+    """Resolve -1 extents and build the extractor (parity: data.py:8-17).
+
+    More forgiving than the reference: a patch_shape shorter than the volume
+    rank (e.g. the 2D default [-1,-1] against a (t,x,1) volume) is extended
+    with -1 (full extent) instead of raising IndexError (data.py:11).
+    """
     ndim = len(in_shape)
+    patch_shape = list(patch_shape) + [-1] * (ndim - len(patch_shape))
+    patch_stride = list(patch_stride) + [-1] * (ndim - len(patch_stride))
     dim = [patch_shape[d] if patch_shape[d] != -1 else in_shape[d]
            for d in range(ndim)]
     if datadim == "2.5d" and imgchannel is not None:
