@@ -22,6 +22,7 @@ import optax
 class SGLDState(NamedTuple):
     key: jax.Array
     momentum: Optional[optax.Updates]
+    step: jax.Array
 
 
 def sgld(lr: float, noise_scale: float = 0.1, momentum: float = 0.0,
@@ -41,7 +42,8 @@ def sgld(lr: float, noise_scale: float = 0.1, momentum: float = 0.0,
 
     def init(params):
         mom = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum else None
-        return SGLDState(key=jax.random.PRNGKey(seed), momentum=mom)
+        return SGLDState(key=jax.random.PRNGKey(seed), momentum=mom,
+                         step=jnp.zeros((), jnp.int32))
 
     def update(grads, state, params=None):
         if weight_decay and params is not None:
@@ -49,8 +51,14 @@ def sgld(lr: float, noise_scale: float = 0.1, momentum: float = 0.0,
                 lambda g, p: g + weight_decay * p, grads, params)
         mom = state.momentum
         if momentum:
+            # torch SGD first-step semantics (reference optimizers.py:94-97):
+            # the buffer is initialised to d_p itself — dampening only
+            # applies from the second step on
+            first = state.step == 0
             mom = jax.tree_util.tree_map(
-                lambda b, g: momentum * b + (1 - dampening) * g, mom, grads)
+                lambda b, g: jnp.where(first, g,
+                                       momentum * b + (1 - dampening) * g),
+                mom, grads)
             d_p = jax.tree_util.tree_map(
                 lambda g, b: g + momentum * b, grads, mom) if nesterov else mom
         else:
@@ -61,7 +69,7 @@ def sgld(lr: float, noise_scale: float = 0.1, momentum: float = 0.0,
             -lr * d + jnp.sqrt(noise_scale) * jax.random.normal(k, d.shape, d.dtype)
             for d, k in zip(leaves, keys)]
         return (jax.tree_util.tree_unflatten(treedef, noisy),
-                SGLDState(key=key, momentum=mom))
+                SGLDState(key=key, momentum=mom, step=state.step + 1))
 
     return optax.GradientTransformation(init, update)
 

@@ -491,14 +491,19 @@ class DIPSolver:
 
     @staticmethod
     def _save_checkpoint(path: str, carry, hist, chunk_idx: int,
-                         iters_run: int) -> None:
-        from ..io.checkpoint import save_solver_state
+                         iters_run: int, epochs: int) -> None:
+        from ..io.checkpoint import npz_path, save_solver_state
+        path = npz_path(path)
         save_solver_state(path, carry)
-        # append host-side history + position into the same npz
+        # append host-side history + position into the same npz; 'stopped'
+        # records whether the solve had already terminated so resume knows
+        # whether re-running steps is legal (only for epoch-budget stops)
         with np.load(path, allow_pickle=False) as z:
             arrays = {k: z[k] for k in z.files}
         arrays["__meta__"] = np.asarray(
-            json.dumps({"chunk": chunk_idx, "iters_run": iters_run}))
+            json.dumps({"chunk": chunk_idx, "iters_run": iters_run,
+                        "epochs": int(epochs),
+                        "stopped": bool(jax.device_get(carry["done"]))}))
         for f in hist.FIELDS:
             arrays[f"__hist_{f}__"] = np.asarray(getattr(hist, f), np.float64)
         np.savez(path, **arrays)
@@ -563,6 +568,9 @@ class DIPSolver:
         stopped = False
 
         # exact mid-optimisation resume
+        if checkpoint_path:
+            from ..io.checkpoint import npz_path
+            checkpoint_path = npz_path(checkpoint_path)
         if checkpoint_path and os.path.exists(checkpoint_path):
             from ..io.checkpoint import load_solver_state
             state = np.load(checkpoint_path, allow_pickle=True)
@@ -574,9 +582,22 @@ class DIPSolver:
             for f in hist.FIELDS:
                 if f"__hist_{f}__" in state:
                     getattr(hist, f).extend(state[f"__hist_{f}__"].tolist())
-            # the saved run may have ended at its epoch budget; the step
-            # re-derives done from the (possibly larger) current budget
-            carry["done"] = jnp.zeros_like(carry["done"])
+            # Reset 'done' ONLY when the saved run stopped at its epoch
+            # budget and the current budget is larger. Early-stop and
+            # NaN-abort states are final: stepping again would (at best)
+            # undo the convergence decision and (for NaN) write NaN grads
+            # into correctly-frozen params.
+            if bool(meta.get("stopped", False)):
+                last_nan = bool(hist.loss) and not np.isfinite(hist.loss[-1])
+                budget_stop = (iters_run >= int(meta.get("epochs", 0))
+                               and not last_nan)
+                if budget_stop and cfg.epochs > iters_run:
+                    carry["done"] = jnp.zeros_like(carry["done"])
+                else:
+                    start_chunk = n_chunks  # state is final; skip the loop
+                    stopped = iters_run < cfg.epochs
+            else:
+                carry["done"] = jnp.zeros_like(carry["done"])
 
         for c in range(start_chunk, n_chunks):
             iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
@@ -600,7 +621,7 @@ class DIPSolver:
             if checkpoint_path and checkpoint_every and \
                     (c + 1) % checkpoint_every == 0:
                 self._save_checkpoint(checkpoint_path, carry, hist,
-                                      c + 1, iters_run)
+                                      c + 1, iters_run, cfg.epochs)
             if bool(jax.device_get(carry["done"])):
                 stopped = iters_run < cfg.epochs
                 break

@@ -35,20 +35,33 @@ def load_params(path: str, template: Any) -> Any:
         return serialization.from_bytes(template, fh.read())
 
 
+def npz_path(path: str) -> str:
+    """np.savez silently appends '.npz' when missing — normalise up front so
+    save/exists/load all agree on one filename."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def load_checked(netpath: str, cfg: Config, template: Any,
                  results_root: str = "./results") -> Any:
     """Load weights after enforcing config compatibility
     (parity: main.py:105-110 — read the saved run's args.txt, check
-    ``net_args_are_same``, then load)."""
-    args_path = os.path.join(results_root, *netpath.split("/")[:-1], "args.txt")
+    ``net_args_are_same``, then load).
+
+    ``netpath`` may be absolute (the reference accepts absolute --netdir,
+    main.py:105-110) or relative to ``results_root``.
+    """
+    full = netpath if os.path.isabs(netpath) \
+        else os.path.join(results_root, netpath)
+    args_path = os.path.join(os.path.dirname(full), "args.txt")
     saved_cfg = read_args(args_path)
     assert net_args_are_same(cfg, saved_cfg), \
         "saved network config is incompatible with the current one"
-    return load_params(os.path.join(results_root, netpath), template)
+    return load_params(full, template)
 
 
 def save_solver_state(path: str, carry: dict) -> None:
     """Full solver-state checkpoint: params, Adam moments, RNG, trackers."""
+    path = npz_path(path)
     flat, _ = jax.tree_util.tree_flatten_with_path(jax.device_get(carry))
     arrays = {}
     for p, leaf in flat:
@@ -59,7 +72,7 @@ def save_solver_state(path: str, carry: dict) -> None:
 
 def load_solver_state(path: str, template: dict) -> dict:
     """Restore a solver carry saved by :func:`save_solver_state`."""
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(npz_path(path), allow_pickle=False) as z:
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
         for p, leaf in flat:

@@ -24,6 +24,7 @@ patches are small enough that a single patch underutilises the chip.
 """
 from __future__ import annotations
 
+import contextlib
 import math
 import time
 from typing import Any, Dict, List, Optional, Sequence
@@ -104,25 +105,35 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     mult = pad_multiple_for(cfg)
     padded = padded_spatial(spatial, mult)
 
-    carries, datas = [], []
-    for i, patch in enumerate(patches):
-        key = jax.random.PRNGKey(cfg.seed + i)
-        k_noise, k_model = jax.random.split(key)
-        if s.virtual_input:
-            base_input = None
-            datas.append(build_data(cfg, s, patch["image"], patch["mask"],
-                                    None, solver.dtype, input_key=k_noise))
-        else:
-            base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
-            datas.append(build_data(cfg, s, patch["image"], patch["mask"],
-                                    base_input, solver.dtype))
-        carries.append(init_carry(solver.model, s, cfg, k_model,
-                                  input_shape, solver.outchannel,
-                                  None, solver.dtype,
-                                  base_input=base_input))
-    carry = _tree_stack(carries)
-    data = _tree_stack(datas)
-    hyper = build_hyper(cfg)
+    # Eager array creation (jnp.asarray in build_data, model.init in
+    # init_carry, the stacking below) must land on the MESH's backend, not
+    # whatever the process default happens to be — with a CPU mesh under a
+    # TPU-default process the mixed placement is at best a transfer storm
+    # and at worst a crash (round-1 MULTICHIP artifact).
+    if mesh is not None:
+        place = jax.default_device(mesh.devices.flat[0])
+    else:
+        place = contextlib.nullcontext()
+    with place:
+        carries, datas = [], []
+        for i, patch in enumerate(patches):
+            key = jax.random.PRNGKey(cfg.seed + i)
+            k_noise, k_model = jax.random.split(key)
+            if s.virtual_input:
+                base_input = None
+                datas.append(build_data(cfg, s, patch["image"], patch["mask"],
+                                        None, solver.dtype, input_key=k_noise))
+            else:
+                base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
+                datas.append(build_data(cfg, s, patch["image"], patch["mask"],
+                                        base_input, solver.dtype))
+            carries.append(init_carry(solver.model, s, cfg, k_model,
+                                      input_shape, solver.outchannel,
+                                      None, solver.dtype,
+                                      base_input=base_input))
+        carry = _tree_stack(carries)
+        data = _tree_stack(datas)
+        hyper = build_hyper(cfg)
 
     if mesh is not None:
         sh = NamedSharding(mesh, P("patch"))
@@ -137,7 +148,9 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
 
     start = time.time()
     for c in range(n_chunks):
-        iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
+        # host numpy on purpose: jit places it; an eager jnp.arange would
+        # land on the process-default backend, not the mesh's
+        iters = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int32)
         carry, ys = jitted(carry, iters, data, hyper)
         ys = jax.device_get(ys)  # leaves: (B, K)
         for b in range(B):

@@ -118,3 +118,23 @@ def test_cli_end_to_end(tmp_path, rng):
     outpath2 = run(cfg, results_root=str(tmp_path / "results"),
                    original=vol, corrupted=mask)
     assert outpath2 == outpath
+
+
+def test_load_checked_absolute_path(tmp_path):
+    """--netdir with an absolute path (the reference accepts these,
+    main.py:105-110) must resolve args.txt next to the weights file."""
+    from deep_prior_interpolation_tpu.io import load_checked
+    from deep_prior_interpolation_tpu.models import MulResUnet
+    model = MulResUnet(out_channels=1, ndim=2, filters=(8, 16), skip=(4,))
+    x = jnp.zeros((1, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    cfg = Config(datadim="2d", inputdepth=4, filters=[8, 16], skip=[4])
+    run_dir = tmp_path / "oldrun"
+    run_dir.mkdir()
+    save_params(str(run_dir / "0_model.msgpack"), params)
+    write_args(str(run_dir / "args.txt"), cfg)
+    loaded = load_checked(str(run_dir / "0_model.msgpack"), cfg, params,
+                          results_root=str(tmp_path / "elsewhere"))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, loaded)

@@ -149,3 +149,31 @@ def test_optimizer_validation():
         sgld(lr=0.1, nesterov=True)  # needs momentum
     with pytest.raises(ValueError):
         psgld(beta=-0.5)
+
+
+def test_sgld_momentum_matches_torch_sgd_with_dampening():
+    """torch SGD initialises the momentum buffer to d_p itself on step one
+    (dampening only from step 2); with zero noise SGLD must trace the same
+    trajectory (reference optimizers.py:94-97)."""
+    import torch
+
+    g_seq = [np.array([1.0, -2.0], np.float32),
+             np.array([0.5, 0.25], np.float32),
+             np.array([-1.5, 3.0], np.float32)]
+    lr, mom, damp = 0.1, 0.9, 0.3
+
+    p_t = torch.zeros(2, requires_grad=True)
+    opt_t = torch.optim.SGD([p_t], lr=lr, momentum=mom, dampening=damp)
+    for g in g_seq:
+        opt_t.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+
+    opt_j = sgld(lr=lr, noise_scale=0.0, momentum=mom, dampening=damp)
+    p_j = jnp.zeros(2)
+    state = opt_j.init(p_j)
+    for g in g_seq:
+        upd, state = opt_j.update(jnp.asarray(g), state, p_j)
+        p_j = p_j + upd
+    np.testing.assert_allclose(np.asarray(p_j), p_t.detach().numpy(),
+                               rtol=1e-6)
