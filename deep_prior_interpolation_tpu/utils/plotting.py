@@ -1,14 +1,18 @@
-"""Plotting helpers (host-side, matplotlib/imageio).
+"""Host-side visualisation of seismic gathers and volumes.
 
-Capability parity with /root/reference/utils/plotting.py: percentile clim
-(plotting.py:9-11), 3-panel orthogonal volume view (``explode_volume``,
-:14-87), GIF export (:90-111), wiggle seismograms (:114-142) and gather
-images (:145-170). Figures are returned (not ``plt.show()``-n) so they work
-headless.
+Own design with capability parity to the reference's plotting surface
+(/root/reference/utils/plotting.py:9-170: percentile clim, orthogonal volume
+view, GIF export, wiggle traces, gather image).  Instead of the reference's
+three unrolled imshow/axvline blocks, everything here is built from one
+primitive: :func:`_section` renders a 2-D slice with physical extents and
+optional crosshair marks onto an axis.  ``plot_gather`` is a single section;
+``explode_volume`` is three sections assembled from a declarative spec list
+via ``subplot_mosaic``.  Figures are returned, never shown, so the module is
+headless-safe.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -18,8 +22,42 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 
 def clim(x: np.ndarray, ratio: float = 95) -> Tuple[float, float]:
-    c = np.percentile(np.absolute(x), ratio)
+    """Symmetric color limits at the given percentile of ``|x|``."""
+    c = float(np.percentile(np.abs(np.asarray(x)), ratio))
     return -c, c
+
+
+def _span(lim: Optional[tuple], n: int, unit: str) -> Tuple[float, float, str]:
+    """Physical (lo, hi, axis-label) for an axis of ``n`` samples.
+
+    Without explicit limits the axis is labelled in sample indices.
+    """
+    if lim is None:
+        return 0.0, float(n), "samples"
+    return float(lim[0]), float(lim[1]), unit
+
+
+def _phys(idx: int, lo: float, hi: float, n: int) -> float:
+    """Map a sample index to its physical coordinate on a span."""
+    return lo + (hi - lo) * idx / n
+
+
+def _section(ax, data: np.ndarray, hspan: Tuple[float, float],
+             vspan: Tuple[float, float], img_opts: dict,
+             marks: Optional[Tuple[float, float]] = None,
+             mark_style: Optional[dict] = None,
+             v_down: bool = True) -> None:
+    """Draw one 2-D section: image in physical coordinates + crosshairs.
+
+    ``data`` rows map to the vertical span (downward-increasing when
+    ``v_down``, the seismic time convention), columns to the horizontal span.
+    ``marks`` are physical (h, v) crosshair coordinates.
+    """
+    bottom, top = (vspan[1], vspan[0]) if v_down else vspan
+    ax.imshow(data, extent=(hspan[0], hspan[1], bottom, top), **img_opts)
+    if marks is not None:
+        ax.axvline(marks[0], **mark_style)
+        ax.axhline(marks[1], **mark_style)
 
 
 def explode_volume(volume: np.ndarray, t: Optional[int] = None,
@@ -28,131 +66,139 @@ def explode_volume(volume: np.ndarray, t: Optional[int] = None,
                    clipval: Optional[tuple] = None, p: int = 98,
                    tlim: Optional[tuple] = None, xlim: Optional[tuple] = None,
                    ylim: Optional[tuple] = None,
-                   labels=("[s]", "[km]", "[km]"),
-                   ratio: Optional[tuple] = None, linespec: Optional[dict] = None,
+                   labels: Sequence[str] = ("[s]", "[km]", "[km]"),
+                   ratio: Optional[tuple] = None,
+                   linespec: Optional[dict] = None,
                    filename: Optional[str] = None,
                    save_opts: Optional[dict] = None):
-    """Central/top/right orthogonal slices of a (t, x, y) volume."""
-    if linespec is None:
-        linespec = dict(ls="-", lw=1, color="orange")
-    nt, nx, ny = volume.shape
-    t_label, x_label, y_label = labels
-    t = t if t is not None else nt // 2
-    x = x if x is not None else nx // 2
-    y = y if y is not None else ny // 2
+    """Orthogonal-slice view of a (t, x, y) volume.
 
-    if tlim is None:
-        t_label, tlim = "samples", (0, nt)
-    if xlim is None:
-        x_label, xlim = "samples", (0, nx)
-    if ylim is None:
-        y_label, ylim = "samples", (0, ny)
+    Front (x–t), top (x–y) and side (y–t) sections through the cut point
+    ``(t, x, y)`` (defaults: volume centre), arranged in an L-shaped mosaic
+    with shared axes and crosshairs marking the cut planes.
+    """
+    vol = np.asarray(volume)
+    nt, nx, ny = vol.shape
+    ct = nt // 2 if t is None else t
+    cx = nx // 2 if x is None else x
+    cy = ny // 2 if y is None else y
 
-    tline = (tlim[1] - tlim[0]) / nt * t + tlim[0]
-    xline = (xlim[1] - xlim[0]) / nx * x + xlim[0]
-    yline = (ylim[1] - ylim[0]) / ny * y + ylim[0]
+    t0, t1, t_unit = _span(tlim, nt, labels[0])
+    x0, x1, x_unit = _span(xlim, nx, labels[1])
+    y0, y1, y_unit = _span(ylim, ny, labels[2])
+    pt, px, py = (_phys(ct, t0, t1, nt), _phys(cx, x0, x1, nx),
+                  _phys(cy, y0, y1, ny))
 
-    fig = plt.figure(figsize=figsize)
-    wr, hr = ((nx, ny), (ny, nx)) if ratio is None else (ratio[0], ratio[1])
-    opts = dict(cmap=cmap, clim=clipval if clipval is not None else clim(volume, p),
-                aspect="auto")
-    gs = fig.add_gridspec(2, 2, width_ratios=wr, height_ratios=hr,
-                          left=0.1, right=0.9, bottom=0.1, top=0.9,
-                          wspace=0.0, hspace=0.0)
-    ax = fig.add_subplot(gs[1, 0])
-    ax_top = fig.add_subplot(gs[0, 0], sharex=ax)
-    ax_right = fig.add_subplot(gs[1, 1], sharey=ax)
+    style = linespec if linespec is not None else dict(ls="-", lw=1,
+                                                       color="orange")
+    img_opts = dict(
+        cmap=cmap, aspect="auto",
+        clim=clipval if clipval is not None else clim(vol, p))
+    wr, hr = ((nx, ny), (ny, nx)) if ratio is None else (tuple(ratio[0]),
+                                                         tuple(ratio[1]))
 
-    ax.imshow(volume[:, :, y], extent=[xlim[0], xlim[1], tlim[1], tlim[0]], **opts)
-    ax.axvline(x=xline, **linespec)
-    ax.axhline(y=tline, **linespec)
+    fig, axd = plt.subplot_mosaic(
+        [["top", "."], ["front", "side"]], figsize=figsize,
+        width_ratios=wr, height_ratios=hr,
+        gridspec_kw=dict(wspace=0.0, hspace=0.0))
+    axd["top"].sharex(axd["front"])
+    axd["side"].sharey(axd["front"])
 
-    ax_top.imshow(volume[t].T, extent=[xlim[0], xlim[1], ylim[1], ylim[0]], **opts)
-    ax_top.axvline(x=xline, **linespec)
-    ax_top.axhline(y=yline, **linespec)
-    ax_top.invert_yaxis()
+    # panel spec: (axis key, section array, hspan, vspan, crosshair, v_down)
+    panels = [
+        ("front", vol[:, :, cy], (x0, x1), (t0, t1), (px, pt), True),
+        ("top", vol[ct].T, (x0, x1), (y0, y1), (px, py), False),
+        ("side", vol[:, cx], (y0, y1), (t0, t1), (py, pt), True),
+    ]
+    for key, section, hspan, vspan, marks, v_down in panels:
+        _section(axd[key], section, hspan, vspan, img_opts,
+                 marks=marks, mark_style=style, v_down=v_down)
 
-    ax_right.imshow(volume[:, x], extent=[ylim[0], ylim[1], tlim[1], tlim[0]], **opts)
-    ax_right.axvline(x=yline, **linespec)
-    ax_right.axhline(y=tline, **linespec)
-
-    ax_top.tick_params(axis="x", labelbottom=False)
-    ax_right.tick_params(axis="y", labelleft=False)
-    ax.set_xlabel("x " + x_label)
-    ax.set_ylabel("t " + t_label)
-    ax_right.set_xlabel("y " + y_label)
-    ax_top.set_ylabel("y " + y_label)
+    axd["top"].tick_params(axis="x", labelbottom=False)
+    axd["side"].tick_params(axis="y", labelleft=False)
+    axd["front"].set_xlabel(f"x {x_unit}")
+    axd["front"].set_ylabel(f"t {t_unit}")
+    axd["top"].set_ylabel(f"y {y_unit}")
+    axd["side"].set_xlabel(f"y {y_unit}")
 
     if filename is not None:
-        if save_opts is None:
-            save_opts = {"format": "png", "dpi": 150, "bbox_inches": "tight"}
-        fig.savefig(f"{filename}.{save_opts['format']}", **save_opts)
+        opts = dict(format="png", dpi=150, bbox_inches="tight")
+        if save_opts:
+            opts.update(save_opts)
+        fig.savefig(f"{filename}.{opts['format']}", **opts)
     return fig
 
 
-def gif_from_array(x: np.ndarray, filename: str, clipval: Optional[tuple] = None,
-                   p: int = 98, axis: int = 0, **kwargs) -> None:
-    """Export volume slices along ``axis`` as an animated GIF."""
+def plot_gather(gather: np.ndarray, figsize: tuple = (8, 8),
+                cmap: str = "bone", clipval: Optional[tuple] = None,
+                p: int = 98, tlim: Optional[tuple] = None,
+                xlim: Optional[tuple] = None,
+                labels: Sequence[str] = ("[s]", "[km]"),
+                filename: Optional[str] = None):
+    """Image view of a single (t, x) gather — one :func:`_section`."""
+    g = np.asarray(gather)
+    t0, t1, t_unit = _span(tlim, g.shape[0], labels[0])
+    x0, x1, x_unit = _span(xlim, g.shape[1], labels[1])
+
+    fig, ax = plt.subplots(figsize=figsize)
+    _section(ax, g, (x0, x1), (t0, t1),
+             dict(cmap=cmap, aspect="auto",
+                  clim=clipval if clipval is not None else clim(g, p)))
+    ax.set_xlabel(f"x {x_unit}")
+    ax.set_ylabel(f"t {t_unit}")
+    if filename is not None:
+        fig.savefig(filename, bbox_inches="tight", dpi=150)
+    return fig
+
+
+def gif_from_array(x: np.ndarray, filename: str,
+                   clipval: Optional[tuple] = None, p: int = 98,
+                   axis: int = 0, **kwargs) -> None:
+    """Animate the slices of a volume along ``axis`` into a GIF file."""
     from imageio import mimsave
 
-    if clipval is None:
-        clipval = clim(x, p)
-    if axis > x.ndim:
+    arr = np.asarray(x)
+    if not -arr.ndim <= axis < arr.ndim:
         raise ValueError("Provided dir has to be an array dimension")
-    x = np.clip(x, clipval[0], clipval[1])
-    x = (x - clipval[0]) / (clipval[1] - clipval[0])
-    x = (x * 255).astype(np.uint8)
-    if axis != 0:
-        x = np.swapaxes(x, axis, 0)
-    frames = [x[i].T for i in range(x.shape[0])]
-    mimsave(filename, frames, format="GIF", **kwargs)
+    arr = np.moveaxis(arr, axis, 0)
+    lo, hi = clipval if clipval is not None else clim(arr, p)
+    u8 = (np.clip((arr - lo) / (hi - lo), 0.0, 1.0) * 255).astype(np.uint8)
+    mimsave(filename, list(u8.transpose(0, 2, 1)), format="GIF", **kwargs)
 
 
 def seismograms(x: np.ndarray, ax, tlim: Optional[tuple] = None,
                 xlim: Optional[tuple] = None, gain: float = 1.0,
                 color: Union[str, Tuple[str, str]] = "black") -> None:
-    """Wiggle-trace plot of a (t, x) gather on an existing axis."""
+    """Variable-area wiggle display of a (t, x) gather on an existing axis.
+
+    Each trace is scaled by ``gain``, offset to its receiver coordinate, and
+    its positive/negative lobes filled with ``color`` (a single color or a
+    ``(positive, negative)`` pair).
+    """
     if isinstance(color, str):
-        color = (color, color)
-    elif not (isinstance(color, tuple) and len(color) == 2):
-        raise ValueError("color has to be a tuple of 2 elements")
+        pos_c = neg_c = color
+    else:
+        try:
+            pos_c, neg_c = color
+        except (TypeError, ValueError):
+            raise ValueError("color has to be a tuple of 2 elements")
 
-    tlim_ = tlim if tlim is not None else (0, x.shape[0])
-    xlim_ = xlim if xlim is not None else (1, x.shape[1])
-    t_axis = np.linspace(tlim_[0], tlim_[1], x.shape[0])
-    x_axis = np.linspace(xlim_[0], xlim_[1], x.shape[1])
+    g = np.asarray(x)
+    nt, ntr = g.shape
+    t0, t1, _ = _span(tlim, nt, "")
+    x0, x1, _ = _span(xlim if xlim is not None else (1, ntr), ntr, "")
+    t_coords = np.linspace(t0, t1, nt)
+    offsets = np.linspace(x0, x1, ntr)
+    wiggles = g * gain + offsets  # (nt, ntr), one offset trace per column
 
-    for idx, xx in enumerate(x_axis):
-        trace = x[:, idx] * gain + xx
-        ax.fill_betweenx(t_axis, trace, xx, where=trace >= xx, facecolor=color[0])
-        ax.fill_betweenx(t_axis, trace, xx, where=trace <= xx, facecolor=color[1])
+    for off, w in zip(offsets, wiggles.T):
+        ax.fill_betweenx(t_coords, w, off, where=w >= off, facecolor=pos_c)
+        ax.fill_betweenx(t_coords, w, off, where=w <= off, facecolor=neg_c)
 
-    ax.set_ylim(tlim_[0], tlim_[1])
+    ax.set_ylim(t0, t1)
     ax.invert_yaxis()
-    ax.set_xticks(x_axis)
+    ax.set_xticks(offsets)
     ax.tick_params(axis="x", size=2, width=1)
     ax.xaxis.set_label_position("top")
     ax.xaxis.set_ticks_position("top")
     ax.grid(visible=True, which="major", axis="y")
-
-
-def plot_gather(gather: np.ndarray, figsize: tuple = (8, 8), cmap: str = "bone",
-                clipval: Optional[tuple] = None, p: int = 98,
-                tlim: Optional[tuple] = None, xlim: Optional[tuple] = None,
-                labels=("[s]", "[km]"), filename: Optional[str] = None):
-    """Image plot of a (t, x) gather."""
-    t_label, x_label = labels
-    if tlim is None:
-        t_label, tlim = "samples", (0, gather.shape[0])
-    if xlim is None:
-        x_label, xlim = "samples", (0, gather.shape[1])
-
-    fig = plt.figure(figsize=figsize)
-    plt.imshow(gather, cmap=cmap, aspect="auto",
-               clim=clipval if clipval is not None else clim(gather, p),
-               extent=[xlim[0], xlim[1], tlim[1], tlim[0]])
-    plt.xlabel("x " + x_label)
-    plt.ylabel("t " + t_label)
-    if filename is not None:
-        fig.savefig(filename, bbox_inches="tight", dpi=150)
-    return fig
