@@ -1,4 +1,5 @@
 """Data pipeline: N-D patch tiling, overlap-add, 2.5D transposes."""
+from .bundled import dataset_path, lines_dataset, lines_wavelet
 from .patcher import (PatchExtractor, cosinetaper, count_patches,
                       flat_index_map, hanningtaper, in_content_cropped_shape,
                       mid_intensity_high_texture, overlap_add,
@@ -13,5 +14,5 @@ __all__ = [
     "overlap_add", "patch_array_shape", "taper2d",
     "extract_patches", "get_patch_extractor", "reconstruct_patches",
     "transpose_patches_25d", "decimated_pair", "hyperbolic_events",
-    "source_wavelet",
+    "source_wavelet", "dataset_path", "lines_dataset", "lines_wavelet",
 ]

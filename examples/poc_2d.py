@@ -17,8 +17,8 @@ from deep_prior_interpolation_tpu.io import show_results
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 
-img = np.load("/root/reference/datasets/lines/original.npy").astype(np.float32)
-mask = np.load("/root/reference/datasets/lines/random66.npy").astype(np.float32)
+from deep_prior_interpolation_tpu.data import lines_dataset  # noqa: E402
+img, mask = lines_dataset()
 
 cfg = dpi.Config(
     imgdir=".", imgname="original.npy", maskname="random66.npy",

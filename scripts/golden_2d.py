@@ -112,8 +112,8 @@ def main() -> None:
     ap.add_argument("--skip-reference", action="store_true")
     args = ap.parse_args()
 
-    img = np.load("/root/reference/datasets/lines/original.npy").astype(np.float32)
-    mask = np.load("/root/reference/datasets/lines/random66.npy").astype(np.float32)
+    from deep_prior_interpolation_tpu.data import lines_dataset
+    img, mask = lines_dataset()
 
     results = {"iters": args.iters, "workload": "lines 170x100, MulResUnet2D,"
                " inputdepth 64, L1, Adam 1e-3, gain 1 (poc_2D cell 4)",

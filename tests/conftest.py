@@ -24,9 +24,7 @@ def rng():
 
 @pytest.fixture(scope="session")
 def lines_data():
-    """The bundled 2D gather + 66%-decimation mask from the reference
-    datasets (read-only reference fixture; float64 -> float32 on use)."""
-    base = "/root/reference/datasets/lines"
-    img = np.load(os.path.join(base, "original.npy"))
-    mask = np.load(os.path.join(base, "random66.npy"))
-    return np.asarray(img, np.float32), np.asarray(mask, np.float32)
+    """The vendored lines 2D gather + 66%-decimation mask
+    (float64 -> float32 on use); no reference checkout needed."""
+    from deep_prior_interpolation_tpu.data import lines_dataset
+    return lines_dataset()
