@@ -41,6 +41,18 @@ def run(cfg: Config, results_root: str = "./results",
         original: Optional[np.ndarray] = None,
         corrupted: Optional[np.ndarray] = None) -> str:
     """Execute a full interpolation run; returns the output directory."""
+    if cfg.gpu is not None:
+        # --gpu N pins the run to the N-th accelerator (the TPU-native
+        # equivalent of the reference's CUDA_VISIBLE_DEVICES pinning,
+        # utils/torch.py:165-185); out-of-range indices fall back to the
+        # default device with a warning instead of crashing.
+        import jax
+        devs = jax.devices()
+        if 0 <= cfg.gpu < len(devs):
+            jax.config.update("jax_default_device", devs[cfg.gpu])
+        else:
+            _log(f"warning: --gpu {cfg.gpu} out of range "
+                 f"({len(devs)} devices); using the default device")
     outpath = os.path.join(results_root,
                            cfg.outdir if cfg.outdir is not None else random_code())
     os.makedirs(outpath, exist_ok=True)
@@ -103,7 +115,7 @@ def run(cfg: Config, results_root: str = "./results",
         _log("\n" + sec2time(res.elapsed))
 
         save_run(outpath, name, res.history, mask, img, res.out_best,
-                 elapsed=res.elapsed)
+                 elapsed=res.elapsed, noise=res.noise, pocs=res.pocs)
         for it, snap in res.snapshots.items():
             np.save(os.path.join(
                 outpath, f"{name}_output{str(it).zfill(res.history.zfill)}.npy"),
@@ -129,7 +141,13 @@ def _run_batched(cfg: Config, solver: DIPSolver, patches: List[dict],
         results = solve_patches_batched(cfg, solver, group)
         for patch, res in zip(group, results):
             save_run(outpath, patch["name"], res.history, patch["mask"],
-                     patch["image"], res.out_best, elapsed=res.elapsed)
+                     patch["image"], res.out_best, elapsed=res.elapsed,
+                     noise=res.noise, pocs=res.pocs)
+            for it, snap in res.snapshots.items():
+                np.save(os.path.join(
+                    outpath,
+                    f"{patch['name']}_output{str(it).zfill(res.history.zfill)}.npy"),
+                    snap)
             if cfg.savemodel:
                 save_params(os.path.join(
                     outpath, f"{patch['name']}_model.msgpack"), res.params)

@@ -50,7 +50,12 @@ class History:
 
 
 class HistoryReg(History):
-    """+ data-fit and regulariser traces (utils/metrics.py:88-137)."""
+    """+ data-fit and regulariser traces (utils/metrics.py:88-137).
+
+    Library surface for externally-regularised workflows (e.g. a slope /
+    linear-operator penalty built from ``ops.linops`` / ``ops.slopes``); like
+    the reference's HistoryReg it is exported but not instantiated by the
+    built-in drivers, which use ``History`` or ``HistoryPOCS``."""
 
     FIELDS = ("loss", "df", "reg", "snr", "pcorr", "lr")
     MSG = "Iter %s, Loss = %+.2e, DF = %.2e, REG = %.2e, SNR = %+.2f dB, PCORR = %+.2f %%"

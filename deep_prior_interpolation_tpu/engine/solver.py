@@ -447,6 +447,23 @@ def build_data(cfg: Config, s: StepSettings, img: np.ndarray, mask: np.ndarray,
     return data
 
 
+def extract_noise_canvas(s: StepSettings, carry, data, base_input,
+                         spatial: Tuple[int, ...]) -> np.ndarray:
+    """The fixed input canvas as (*spatial, inputdepth) f32 — the 'noise'
+    field of the reference run bundle (main.py:234). Regenerated from its
+    PRNG key under ``virtual_input``; the optimised canvas under
+    ``opt_over='...,input'``."""
+    if s.opt_input:
+        canvas = carry["params"]["input"]
+    elif s.virtual_input:
+        canvas = get_noise(data["input_key"], s.input_shape, s.noise_dist,
+                           jnp.dtype(s.input_dtype)) * s.noise_std
+    else:
+        canvas = base_input
+    cropped = _crop_center(canvas.astype(jnp.float32), spatial)
+    return np.asarray(jax.device_get(cropped)[0], np.float32)
+
+
 # ----------------------------------------------------------------------
 # result container + host driver
 # ----------------------------------------------------------------------
@@ -460,6 +477,11 @@ class SolveResult:
     iters_run: int
     stopped_early: bool
     snapshots: Dict[int, np.ndarray]
+    # run-bundle parity fields (main.py:226-235, main_pocs.py:260-270):
+    # the fixed input canvas (*spatial, inputdepth) and, for POCS runs, the
+    # f-k projection of the best output (*spatial, C)
+    noise: Optional[np.ndarray] = None
+    pocs: Optional[np.ndarray] = None
 
 
 class DIPSolver:
@@ -628,7 +650,14 @@ class DIPSolver:
         elapsed = time.time() - start
 
         out_best = np.asarray(jax.device_get(carry["out_best"])[0], np.float32)
+        noise_np = extract_noise_canvas(s, carry, data, base_input, spatial)
+        pocs_np = None
+        if s.pocs:
+            proj = fk_projection(jnp.asarray(out_best)[None],
+                                 data["pocs_wdata"], data["pocs_wmask"],
+                                 hyper["pocs_thresh"])
+            pocs_np = np.asarray(jax.device_get(proj)[0], np.float32)
         return SolveResult(out_best=out_best, history=hist,
                            params=carry["params"]["net"], elapsed=elapsed,
                            iters_run=iters_run, stopped_early=stopped,
-                           snapshots=snapshots)
+                           snapshots=snapshots, noise=noise_np, pocs=pocs_np)

@@ -38,8 +38,9 @@ from ..config import Config
 from ..engine.history import History, HistoryPOCS, HistoryReg
 from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
                              build_base_input, build_data, build_hyper,
-                             init_carry, make_run_chunk, pad_multiple_for,
-                             padded_spatial)
+                             extract_noise_canvas, init_carry, make_run_chunk,
+                             pad_multiple_for, padded_spatial)
+from ..ops.pocs import fk_projection
 
 
 def make_mesh(n_devices: int = 0,
@@ -85,7 +86,7 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     padded0 = padded_spatial(spatial, mult0)
     input_shape = (1,) + padded0 + (cfg.inputdepth,)
     s = StepSettings.from_config(
-        cfg, spatial, track_last=False,
+        cfg, spatial, track_last=cfg.save_every is not None,
         takes_mask=getattr(solver.model, "takes_mask", False),
         input_shape=input_shape)
     run_chunk = make_run_chunk(solver.model, s)
@@ -141,10 +142,13 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
         data = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
 
     chunk = max(1, min(cfg.scan_chunk, cfg.epochs))
+    if cfg.save_every:
+        chunk = math.gcd(chunk, int(cfg.save_every)) or 1
     n_chunks = math.ceil(cfg.epochs / chunk)
     hist_cls = HistoryPOCS if s.pocs else History
     hists = [hist_cls(cfg.epochs) for _ in range(B)]
     iters_run = [0] * B
+    snapshots: List[Dict[int, np.ndarray]] = [{} for _ in range(B)]
 
     start = time.time()
     for c in range(n_chunks):
@@ -158,6 +162,12 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
             n_rec = min(n_rec, cfg.epochs - iters_run[b])
             hists[b].extend({k: v[b] for k, v in ys.items()}, n_rec)
             iters_run[b] += n_rec
+        end_iter = (c + 1) * chunk
+        if cfg.save_every and end_iter % cfg.save_every == 0 \
+                and end_iter < cfg.epochs:
+            last = np.asarray(jax.device_get(carry["out_last"]), np.float32)
+            for b in range(B):
+                snapshots[b][end_iter] = last[b, 0]
         if bool(np.all(jax.device_get(carry["done"]))):
             break
     elapsed = time.time() - start
@@ -165,10 +175,21 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     out_best = np.asarray(jax.device_get(carry["out_best"]), np.float32)
     results = []
     for b in range(n_real):
-        params_b = jax.tree_util.tree_map(lambda x: x[b],
-                                          carry["params"]["net"])
+        take_b = lambda x: x[b]  # noqa: E731
+        params_b = jax.tree_util.tree_map(take_b, carry["params"]["net"])
+        data_b = jax.tree_util.tree_map(take_b, data)
+        carry_b = {"params": jax.tree_util.tree_map(take_b, carry["params"])}
+        noise_b = extract_noise_canvas(s, carry_b, data_b,
+                                       data_b.get("base_input"), spatial)
+        pocs_b = None
+        if s.pocs:
+            proj = fk_projection(jnp.asarray(out_best[b]),
+                                 data_b["pocs_wdata"], data_b["pocs_wmask"],
+                                 hyper["pocs_thresh"])
+            pocs_b = np.asarray(jax.device_get(proj)[0], np.float32)
         results.append(SolveResult(
             out_best=out_best[b, 0], history=hists[b], params=params_b,
             elapsed=elapsed / B, iters_run=iters_run[b],
-            stopped_early=iters_run[b] < cfg.epochs, snapshots={}))
+            stopped_early=iters_run[b] < cfg.epochs, snapshots=snapshots[b],
+            noise=noise_b, pocs=pocs_b))
     return results
