@@ -78,6 +78,7 @@ def main() -> None:
     msk = mask[..., None]
 
     virtual = os.environ.get("BENCH_VIRTUAL", "1") == "1"
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     import jax.numpy as jnp
 
     def setup(remat_lv):
@@ -86,7 +87,7 @@ def main() -> None:
                      skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
                      reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
                      remat=remat, remat_levels=remat_lv,
-                     virtual_input=virtual)
+                     virtual_input=virtual, fused_loss=fused)
         solver = DIPSolver(cfg, outchannel=1)
         spatial = tuple(img.shape[:-1])
         key = jax.random.PRNGKey(0)

@@ -102,6 +102,7 @@ class Config:
     opt_over: str = "net"  # comma list: net,input (utils/torch.py:138-162)
     pad_multiple: int = 0  # 0 -> auto: 2**(n_scales-1); 1 -> no padding
     scan_chunk: int = 50  # iterations per jitted scan chunk
+    fused_loss: bool = False  # Pallas fused masked-loss+metrics kernel
     batch_patches: int = 0  # 0 -> sequential; N -> vmap N same-shaped patches
     mesh_shape: int = 0  # 0 -> no mesh; N -> 1-D patch mesh over N devices
 
@@ -215,6 +216,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--opt_over", type=str, default="net")
     p.add_argument("--pad_multiple", type=int, default=0)
     p.add_argument("--scan_chunk", type=int, default=50)
+    p.add_argument("--fused_loss", action="store_true", default=False)
     p.add_argument("--batch_patches", type=int, default=0)
     p.add_argument("--mesh_shape", type=int, default=0)
     return p

@@ -87,6 +87,10 @@ class StepSettings:
     noise_std: float = 0.1
     input_shape: Tuple[int, ...] = ()
     input_dtype: str = "float32"
+    # Pallas fused masked-loss + SNR/pcorr kernel (one HBM pass instead of
+    # three); interpret mode off-TPU so the same step runs on the CPU mesh
+    fused_loss: bool = False
+    fused_interpret: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, orig_spatial: Tuple[int, ...],
@@ -110,6 +114,9 @@ class StepSettings:
                    noise_dist=cfg.noise_dist, noise_std=cfg.noise_std,
                    input_shape=tuple(input_shape),
                    input_dtype=cfg.dtype,
+                   fused_loss=(cfg.fused_loss
+                               and cfg.loss in ("mae", "l1", "mse")),
+                   fused_interpret=jax.default_backend() != "tpu",
                    orig_spatial=tuple(orig_spatial))
 
 
@@ -212,7 +219,14 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
             else:
                 out = model.apply({"params": p["net"]}, inp, rngs=rngs)
             out = _crop_center(out, s.orig_spatial)
-            main = loss_fn(out, img, mask)
+            if s.fused_loss:
+                from ..ops.pallas_kernels import fused_loss_metrics
+                main, mets = fused_loss_metrics(out, img, mask, loss=s.loss,
+                                                interpret=s.fused_interpret)
+                fmets = (mets["snr"], mets["pcorr"])
+            else:
+                main = loss_fn(out, img, mask)
+                fmets = ()
             if s.pocs:
                 proj, th = fk_projection(out, data["pocs_wdata"],
                                          data["pocs_wmask"],
@@ -230,18 +244,21 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
                 eps = jnp.zeros_like(main)
                 th = jnp.zeros_like(main)
                 total = main
-            return total, (out, main, reg, eps, th)
+            return total, (out, main, reg, eps, th, fmets)
 
-        (loss, (out, main, reg, eps, th)), grads = jax.value_and_grad(
+        (loss, (out, main, reg, eps, th, fmets)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
 
         direction, opt_state = adam.update(grads, carry["opt_state"], params)
         new_params = jax.tree_util.tree_map(
             lambda p, d: p - carry["lr"] * d, params, direction)
 
-        out32 = out.astype(jnp.float32)  # metric sums in f32 (bf16 nets)
-        snr_v = L.snr(out32, img)
-        pcorr_v = L.pcorr(out32, img)
+        if s.fused_loss:  # metrics came out of the same HBM pass as the loss
+            snr_v, pcorr_v = fmets
+        else:
+            out32 = out.astype(jnp.float32)  # metric sums in f32 (bf16 nets)
+            snr_v = L.snr(out32, img)
+            pcorr_v = L.pcorr(out32, img)
 
         done = carry["done"]
         better = (loss <= carry["loss_min"]) & ~done

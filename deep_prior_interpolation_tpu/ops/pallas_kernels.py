@@ -8,6 +8,11 @@ of these reductions in a single streaming pass: one grid over 2-D tiles,
 eight running sums accumulated in a VMEM accumulator (TPU grid steps execute
 sequentially per core, so ``acc += ...`` across grid steps is well-defined).
 
+Wired into the scanned solver step via ``Config(fused_loss=True)``
+(StepSettings.fused_loss): the step then gets loss, SNR and Pearson from
+this one pass instead of three separate jnp reductions. Off-TPU backends run
+the kernel in interpret mode (StepSettings.fused_interpret).
+
 The backward pass of the loss is analytic (d/d_out of mean|(o-t)m| or
 mean(((o-t)m)^2)), wired as a ``jax.custom_vjp`` so autodiff never
 differentiates through the kernel.

@@ -65,3 +65,24 @@ def test_fused_large_nonaligned(rng):
     np.testing.assert_allclose(float(loss), float(masked_mse(out, img, mask)),
                                rtol=1e-5)
     np.testing.assert_allclose(float(m["snr"]), float(snr(out, img)), rtol=1e-4)
+
+
+def test_fused_loss_in_solver_matches_plain(lines_data):
+    """cfg.fused_loss=True swaps the scanned step's loss/metrics onto the
+    Pallas kernel; the optimisation trajectory must match the jnp path."""
+    from deep_prior_interpolation_tpu.config import Config
+    from deep_prior_interpolation_tpu.engine import DIPSolver
+
+    img, mask = lines_data
+    img, mask = img[:48, :32], mask[:48, :32]
+
+    def solve(fused):
+        cfg = Config(datadim="2d", epochs=10, inputdepth=4, filters=[8, 16],
+                     skip=[4], scan_chunk=5, seed=0, fused_loss=fused)
+        return DIPSolver(cfg, outchannel=1).solve(img, mask, seed=0)
+
+    a, b = solve(False), solve(True)
+    np.testing.assert_allclose(a.history.loss, b.history.loss, rtol=2e-4)
+    np.testing.assert_allclose(a.history.snr, b.history.snr, rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(a.out_best, b.out_best, rtol=1e-3, atol=1e-4)
