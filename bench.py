@@ -79,6 +79,8 @@ def main() -> None:
 
     virtual = os.environ.get("BENCH_VIRTUAL", "1") == "1"
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    phase = os.environ.get("BENCH_PHASE", "1") == "1"
+    phase_levels = int(os.environ.get("BENCH_PHASE_LEVELS", "3"))
     import jax.numpy as jnp
 
     def setup(remat_lv):
@@ -87,7 +89,8 @@ def main() -> None:
                      skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
                      reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
                      remat=remat, remat_levels=remat_lv,
-                     virtual_input=virtual, fused_loss=fused)
+                     virtual_input=virtual, fused_loss=fused,
+                     phase_space=phase, phase_levels=phase_levels)
         solver = DIPSolver(cfg, outchannel=1)
         spatial = tuple(img.shape[:-1])
         key = jax.random.PRNGKey(0)

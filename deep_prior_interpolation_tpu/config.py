@@ -103,6 +103,10 @@ class Config:
     pad_multiple: int = 0  # 0 -> auto: 2**(n_scales-1); 1 -> no padding
     scan_chunk: int = 50  # iterations per jitted scan chunk
     fused_loss: bool = False  # Pallas fused masked-loss+metrics kernel
+    # phase-space (space-to-depth) execution of the small-channel scales of
+    # MulResUnet — exact math, ~8x MXU lane utilisation (ops/phase_space.py)
+    phase_space: bool = False
+    phase_levels: int = 3  # resolutions 0..N-1 phase-resident; 0 -> all
     batch_patches: int = 0  # 0 -> sequential; N -> vmap N same-shaped patches
     mesh_shape: int = 0  # 0 -> no mesh; N -> 1-D patch mesh over N devices
 
@@ -217,6 +221,8 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--pad_multiple", type=int, default=0)
     p.add_argument("--scan_chunk", type=int, default=50)
     p.add_argument("--fused_loss", action="store_true", default=False)
+    p.add_argument("--phase_space", action="store_true", default=False)
+    p.add_argument("--phase_levels", type=int, default=3)
     p.add_argument("--batch_patches", type=int, default=0)
     p.add_argument("--mesh_shape", type=int, default=0)
     return p

@@ -330,7 +330,13 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
 def pad_multiple_for(cfg: Config) -> int:
     if cfg.pad_multiple and cfg.pad_multiple > 0:
         return cfg.pad_multiple
-    return 2 ** (len(cfg.filters) - 1)
+    mult = 2 ** (len(cfg.filters) - 1)
+    if cfg.phase_space:
+        # resolution r phase-blocks to r/2: every phased level needs its
+        # spatial dims even (models/mulresunet.py phase assert)
+        levels = cfg.phase_levels or len(cfg.filters)
+        mult = max(mult, 2 ** min(levels, len(cfg.filters)))
+    return mult
 
 
 def padded_spatial(spatial: Tuple[int, ...], mult: int) -> Tuple[int, ...]:

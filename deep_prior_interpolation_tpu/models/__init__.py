@@ -47,7 +47,9 @@ def get_net(cfg: Config, outchannel: int = 1):
     if name in ("multiunet", "load"):
         return MulResUnet(filters=tuple(cfg.filters), skip=tuple(cfg.skip),
                           dtype=dtype, remat=cfg.remat,
-                          remat_levels=cfg.remat_levels or None, **common)
+                          remat_levels=cfg.remat_levels or None,
+                          phase_space=cfg.phase_space,
+                          phase_levels=cfg.phase_levels or None, **common)
     if name == "skip":
         from .skip import SkipNet
         return SkipNet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)

@@ -61,18 +61,33 @@ class Norm(nn.Module):
     Statistics are always computed in float32 (bf16 sums across millions of
     voxels lose too much precision); the result is cast back to the input
     dtype.
+
+    ``phase > 1`` operates on phase-blocked tensors (ops.phase_space): each
+    true channel occupies ``phase`` consecutive lanes (channel-major layout),
+    and its statistics pool the spatial axes AND its phase lanes — exactly
+    the plain-space statistics, so the result is the phase transform of the
+    plain Norm.
     """
     eps: float = 1e-5
+    phase: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
-        axes = tuple(range(x.ndim - 1))
+        c = x.shape[-1] // self.phase
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.phase > 1:
+            xr = xf.reshape(x.shape[:-1] + (c, self.phase))
+            axes = tuple(range(xr.ndim - 2)) + (xr.ndim - 1,)
+            mean = jnp.mean(xr, axis=axes, keepdims=True)
+            var = jnp.var(xr, axis=axes, keepdims=True)
+            y = (xr - mean) * jax.lax.rsqrt(var + self.eps)
+            y = y * scale[:, None] + bias[:, None]
+            return y.reshape(x.shape).astype(x.dtype)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 
@@ -89,7 +104,16 @@ class Conv(nn.Module):
     """Same-pad conv (torch-compatible symmetric padding), any spatial rank.
 
     ``dtype`` is the compute dtype (bfloat16 for the MXU fast path); params
-    stay float32 (flax param_dtype default).
+    stay float32. ``phase_in``/``phase_out`` execute the SAME conv (same
+    params, same math) on phase-blocked tensors (ops.phase_space) — the
+    small-channel fast path on TPU:
+
+      * plain -> phase: stride must be 1; lowers to a fused stride-2
+        kernel-(k+1) conv emitting the phase layout directly.
+      * phase -> phase: stride-1 VALID kernel-(k//2+1) conv on the re-phased
+        padding, channels x 2^ndim on both sides.
+      * phase -> plain: stride must be 2 (the natural exit — the stride-2
+        output grid IS the phase grid).
     """
     features: int
     kernel_size: int = 3
@@ -98,19 +122,54 @@ class Conv(nn.Module):
     use_bias: bool = True
     pad: str = "zero"  # zero | reflection (base.py:129-159 conv_mod)
     dtype: Optional[jnp.dtype] = None
+    phase_in: bool = False
+    phase_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import phase_space as ps
+
         k, p = self.kernel_size, _same_pad(self.kernel_size)
+        b = 2 ** self.ndim
+        cin = x.shape[-1] // (b if self.phase_in else 1)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k,) * self.ndim + (cin, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        dt = self.dtype if self.dtype is not None else x.dtype
+        xx = x.astype(dt)
+        w = kernel.astype(dt)
+
+        if self.phase_in or self.phase_out:
+            assert self.pad == "zero", "phase conv supports zero padding only"
+            if not self.phase_in:
+                assert self.stride == 1
+                y = ps.phase_entry_conv(xx, w)
+            elif self.phase_out:
+                assert self.stride == 1
+                y = ps.phase_conv(xx, w)
+            else:
+                assert self.stride == 2, "phase->plain is the stride-2 exit"
+                y = ps.phase_exit_conv(xx, w)
+            if bias is not None:
+                bb = jnp.repeat(bias, b) if self.phase_out else bias
+                y = y + bb.astype(dt)
+            return y
+
         if self.pad == "reflection" and p > 0:
-            pads = [(0, 0)] * (x.ndim - 1 - self.ndim) + [(p, p)] * self.ndim + [(0, 0)]
-            x = jnp.pad(x, pads, mode="reflect")
+            pads = [(0, 0)] + [(p, p)] * self.ndim + [(0, 0)]
+            xx = jnp.pad(xx, pads, mode="reflect")
             padding = [(0, 0)] * self.ndim
         else:
             padding = [(p, p)] * self.ndim
-        return nn.Conv(self.features, (k,) * self.ndim, strides=(self.stride,) * self.ndim,
-                       padding=padding, use_bias=self.use_bias,
-                       dtype=self.dtype)(x)
+        y = jax.lax.conv_general_dilated(
+            xx, w, (self.stride,) * self.ndim, padding,
+            dimension_numbers=ps.conv_dimension_numbers(self.ndim))
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
 
 
 class ConvNormAct(nn.Module):
@@ -122,12 +181,15 @@ class ConvNormAct(nn.Module):
     use_bias: bool = True
     act: str = "LeakyReLU"
     dtype: Optional[jnp.dtype] = None
+    phase_in: bool = False
+    phase_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Conv(self.features, self.kernel_size, self.stride, self.ndim,
-                 self.use_bias, dtype=self.dtype)(x)
-        x = Norm()(x)
+                 self.use_bias, dtype=self.dtype, phase_in=self.phase_in,
+                 phase_out=self.phase_out)(x)
+        x = Norm(phase=2 ** self.ndim if self.phase_out else 1)(x)
         return get_activation(self.act)(x)
 
 

@@ -36,6 +36,12 @@ class MultiResBlock(nn.Module):
 
     ``extra_norm`` adds the two Norms the 3D variant has around the residual
     add (mulresunet.py:80-81,90-94) and the 2D variant lacks.
+
+    ``phase=True`` executes the whole block in phase-blocked space
+    (ops.phase_space — the TPU small-channel fast path): the first conv and
+    the shortcut enter from plain or phase input (``phase_in``), everything
+    after stays phase-resident (channel-major concat commutes with the
+    layout), and the output is a phase tensor. Same params, same math.
     """
     u: int
     ndim: int
@@ -45,6 +51,8 @@ class MultiResBlock(nn.Module):
     drop: float = 0.0
     extra_norm: bool = False
     dtype: Optional[jnp.dtype] = None
+    phase: bool = False
+    phase_in: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -52,18 +60,22 @@ class MultiResBlock(nn.Module):
         c1, c2, c3 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
         kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias,
                   dtype=self.dtype)
-        out1 = ConvNormAct(c1, 3, **kw)(x)
-        out2 = ConvNormAct(c2, 3, **kw)(out1)
-        out3 = ConvNormAct(c3, 3, **kw)(out2)
+        np_ = 2 ** self.ndim if self.phase else 1
+        pin = dict(phase_in=self.phase_in, phase_out=self.phase) \
+            if self.phase else {}
+        pmid = dict(phase_in=True, phase_out=True) if self.phase else {}
+        out1 = ConvNormAct(c1, 3, **kw, **pin)(x)
+        out2 = ConvNormAct(c2, 3, **kw, **pmid)(out1)
+        out3 = ConvNormAct(c3, 3, **kw, **pmid)(out2)
         out = jnp.concatenate([out1, out2, out3], axis=-1)
         if self.extra_norm:
-            out = Norm()(out)
+            out = Norm(phase=np_)(out)
         out = Dropout(self.drop)(out)
-        shortcut = ConvNormAct(c1 + c2 + c3, 1, **kw)(x)
+        shortcut = ConvNormAct(c1 + c2 + c3, 1, **kw, **pin)(x)
         out = shortcut + out
         out = get_activation(self.act)(out)
         if self.extra_norm:
-            out = Norm()(out)
+            out = Norm(phase=np_)(out)
         return Dropout(self.drop)(out)
 
 
@@ -81,19 +93,22 @@ class ResPath(nn.Module):
     norm_last: bool = True
     length: int = 1
     dtype: Optional[jnp.dtype] = None
+    phase: bool = False  # phase-resident execution (input must be phase)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias,
                   dtype=self.dtype)
+        pp = dict(phase_in=True, phase_out=True) if self.phase else {}
+        np_ = 2 ** self.ndim if self.phase else 1
         for _ in range(self.length):
-            a = ConvNormAct(self.f_out, 3, **kw)(x)
-            b = ConvNormAct(self.f_out, 1, **kw)(x)
+            a = ConvNormAct(self.f_out, 3, **kw, **pp)(x)
+            b = ConvNormAct(self.f_out, 1, **kw, **pp)(x)
             y = get_activation(self.act)(a + b)
             if self.norm_last:
-                x = Norm()(Dropout(self.drop)(y))
+                x = Norm(phase=np_)(Dropout(self.drop)(y))
             else:
-                x = Dropout(self.drop)(Norm()(y))
+                x = Dropout(self.drop)(Norm(phase=np_)(y))
         return x
 
 
@@ -120,9 +135,17 @@ class MulResUnet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
     remat_levels: Optional[int] = None  # None -> all levels; N -> largest N
+    # phase-space (space-to-depth) execution of the small-channel resolutions
+    # (ops.phase_space): exact same math/params, ~8x MXU lane utilisation on
+    # the C in {4..25} layers that dominate the flagship 3D step. N ->
+    # resolutions 0..N-1 run phase-resident; None -> all.
+    phase_space: bool = False
+    phase_levels: Optional[int] = 3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.phase_space import depth_to_space, upsample_into_phase
+
         assert len(self.filters) == len(self.skip) + 1, \
             "filters must be one longer than skip (mulresunet.py:127)"
         n = len(self.filters)
@@ -130,6 +153,20 @@ class MulResUnet(nn.Module):
         in_dtype = x.dtype
         if self.dtype is not None:
             x = x.astype(self.dtype)
+
+        def phased(res: int) -> bool:
+            """Does resolution level ``res`` run phase-resident?"""
+            return self.phase_space and (self.phase_levels is None
+                                         or res < self.phase_levels)
+
+        if self.phase_space:
+            for r in range(n):
+                if phased(r):
+                    assert all(dim % 2 ** (r + 1) == 0
+                               for dim in x.shape[1:-1]), \
+                        (f"phase level {r} needs spatial dims divisible by "
+                         f"{2 ** (r + 1)}, got {x.shape[1:-1]} — raise "
+                         f"pad_multiple or lower phase_levels")
 
         def blocks_for(level_idx: int):
             """Checkpointed blocks on the largest (most memory-hungry)
@@ -143,35 +180,57 @@ class MulResUnet(nn.Module):
         bkw = dict(ndim=self.ndim, alpha=self.alpha, act=self.act,
                    use_bias=self.use_bias, drop=self.dropout, extra_norm=is3d,
                    dtype=self.dtype)
+        up_mode = "nearest" if self.upsample_mode == "nearest" else "linear"
 
         def level(i: int, h: jnp.ndarray) -> jnp.ndarray:
+            """Resolution i-1 in, resolution i-1 out; ``h`` (and the return
+            value) are phase tensors iff ``phased(i-1)``."""
+            ph = phased(i - 1)     # layout at this level's own resolution
+            enc_ph = phased(i)     # layout one resolution down
             Block, Path = blocks_for(i)
+            b = 2 ** self.ndim
             # skip branch (mulresunet 2D :155-158 / 3D :230-233)
             s = None
             if self.skip[i - 1] != 0:
                 s = Path(self.skip[i - 1], self.ndim, act=self.act,
                          use_bias=self.use_bias, drop=self.dropout,
-                         norm_last=not is3d, dtype=self.dtype)(h)
-            # stride-2 downsampling (2D :150-153 has no Norm; 3D :224-227 does)
-            d = Conv(h.shape[-1], 3, stride=2, ndim=self.ndim,
-                     use_bias=self.use_bias, dtype=self.dtype)(h)
+                         norm_last=not is3d, dtype=self.dtype, phase=ph)(h)
+            # stride-2 downsampling (2D :150-153 has no Norm; 3D :224-227
+            # does); with a phase input this is the natural stride-2 exit
+            cin = h.shape[-1] // (b if ph else 1)
+            d = Conv(cin, 3, stride=2, ndim=self.ndim,
+                     use_bias=self.use_bias, dtype=self.dtype,
+                     phase_in=ph)(h)
             if is3d:
                 d = Norm()(d)
             d = get_activation(self.act)(d)
             d = Dropout(self.dropout)(d)
-            d = Block(self.filters[i], **bkw)(d)  # encoder block
+            d = Block(self.filters[i], **bkw, phase=enc_ph)(d)  # encoder
             if i < n - 1:
                 d = level(i + 1, d)
-            d = upsample(d, 2, self.upsample_mode)
+            if enc_ph:
+                # phase res-i -> plain res-i (small: half-res array)
+                d = depth_to_space(d)
+            if ph:
+                # x2 upsample landing directly in phase layout: the output's
+                # phase grid IS d's array grid — channel repeat / 2-tap
+                # stencil, no transposes
+                d = upsample_into_phase(d, up_mode)
+            else:
+                d = upsample(d, 2, self.upsample_mode)
             y = concat_crop([s, d]) if s is not None else d
-            return Block(self.filters[i - 1], **bkw)(y)  # decoder block
+            return Block(self.filters[i - 1], **bkw, phase=ph,
+                         phase_in=ph)(y)  # decoder block
 
         Block0, _ = blocks_for(0)
-        x = Block0(self.filters[0], **bkw)(x)  # full-res encoder block
+        x = Block0(self.filters[0], **bkw, phase=phased(0))(x)
         x = level(1, x)
         # output head: 1x1 conv in 2D (:178), 3x3 in 3D (:252)
         x = Conv(self.out_channels, 1 if self.ndim == 2 else 3,
-                 ndim=self.ndim, use_bias=self.use_bias, dtype=self.dtype)(x)
+                 ndim=self.ndim, use_bias=self.use_bias, dtype=self.dtype,
+                 phase_in=phased(0), phase_out=phased(0))(x)
+        if phased(0):
+            x = depth_to_space(x)  # tiny: out_channels * 2^ndim lanes
         last = None if (isinstance(self.last_act, str)
                         and self.last_act.lower() == "none") else self.last_act
         if last is not None:
