@@ -40,6 +40,10 @@ _TILE = _TILE_ROWS * _TILE_COLS
 
 
 def _metrics_kernel(out_ref, img_ref, mask_ref, acc_ref):
+    """Accumulates one statistic per SUBLANE of an (8, 128) block: scalar
+    stores to VMEM are not lowerable on TPU (Mosaic: "Cannot store scalars
+    to VMEM"), so each tile reduces along sublanes only and the final
+    cross-lane sum happens outside the kernel."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -51,14 +55,17 @@ def _metrics_kernel(out_ref, img_ref, mask_ref, acc_ref):
     m = mask_ref[:]
     d = (o - t) * m
     r = t - o
-    acc_ref[0, 0] += jnp.sum(jnp.abs(d))   # masked L1 sum
-    acc_ref[0, 1] += jnp.sum(d * d)        # masked L2 sum
-    acc_ref[0, 2] += jnp.sum(t * t)        # SNR numerator
-    acc_ref[0, 3] += jnp.sum(r * r)        # SNR denominator
-    acc_ref[0, 4] += jnp.sum(t)            # pcorr sums
-    acc_ref[0, 5] += jnp.sum(o)
-    acc_ref[0, 6] += jnp.sum(o * o)
-    acc_ref[0, 7] += jnp.sum(t * o)
+    stats = jnp.stack([
+        jnp.sum(jnp.abs(d), axis=0),   # masked L1 sum
+        jnp.sum(d * d, axis=0),        # masked L2 sum
+        jnp.sum(t * t, axis=0),        # SNR numerator
+        jnp.sum(r * r, axis=0),        # SNR denominator
+        jnp.sum(t, axis=0),            # pcorr sums
+        jnp.sum(o, axis=0),
+        jnp.sum(o * o, axis=0),
+        jnp.sum(t * o, axis=0),
+    ], axis=0)                         # (8, _TILE_COLS): full-block store
+    acc_ref[:] += stats
 
 
 def _pad_flat(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
@@ -75,15 +82,16 @@ def _fused_sums(out, img, mask, interpret: bool = False) -> jnp.ndarray:
     o2, t2, m2 = (_pad_flat(v, n_pad) for v in (out, img, mask))
     spec = pl.BlockSpec((_TILE_ROWS, _TILE_COLS), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    acc = pl.pallas_call(
         _metrics_kernel,
         grid=(grid,),
         in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((1, 8), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((8, _TILE_COLS), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, _TILE_COLS), jnp.float32),
         interpret=interpret,
-    )(o2, t2, m2)[0]
+    )(o2, t2, m2)
+    return jnp.sum(acc, axis=1)
 
 
 def fused_loss_metrics(out: jnp.ndarray, img: jnp.ndarray, mask: jnp.ndarray,
