@@ -33,6 +33,7 @@ cfg = dpi.Config(
     loss="mae", lr=1e-3, inputdepth=64, upsample="linear",
     reg_noise_std=0.03, noise_std=0.1, savemodel=True,
     dtype="bfloat16", remat=True, remat_levels=3,
+    phase_space=True, phase_levels=3,   # exact small-channel MXU fast path
     virtual_input=True, scan_chunk=25)  # HBM-safe fast path for the full patch
 
 outpath = run(cfg, results_root="./results", original=vol, corrupted=mask)
