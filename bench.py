@@ -66,10 +66,12 @@ def main() -> None:
     # auto-rematerialisation search at compile time
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
-    # measured on v5e: levels=3 fits HBM and runs 1.54 s/iter; levels=0
-    # (remat everything) also fits but memory-pressure copies make it 2.2x
-    # slower; levels=2 overflows by ~0.5 GB
-    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "3"))
+    # measured on v5e with phase-space execution: levels=2 fits HBM (the
+    # half-resolution phase activations freed the ~0.5 GB it overflowed by
+    # in round 1) and runs 762 s/1000 iters vs 791 at levels=3; levels=0
+    # (remat everything) is 2.2x slower from memory-pressure copies. The
+    # fallback ladder below retries 3 then 0 on OOM.
+    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "2"))
 
     vol = synth_hyperbolic(nt, nx, ny)
     rng = np.random.RandomState(1)

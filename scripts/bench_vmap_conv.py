@@ -55,7 +55,7 @@ def main() -> None:
     ap.add_argument("--platform", default="default",
                     choices=["default", "cpu"])
     ap.add_argument("--shape", default="176,104")
-    ap.add_argument("--channels", default="64,32")
+    ap.add_argument("--channels", default="64,64")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -94,14 +94,19 @@ def main() -> None:
         "vmap_tapmm": jax.jit(jax.vmap(lambda x1, w1: tap_conv(x1, w1))),
     }
 
+    if ci != co:
+        raise SystemExit("need ci == co: timing feeds the output back as the "
+                         "next input to force true serialisation (repeated "
+                         "identical dispatches mis-measure above chip peak)")
     flops = 2 * B * np.prod(sp) * k ** d * ci * co
     results = {}
     for name, fn in candidates.items():
         y = fn(x, w)
         jax.block_until_ready(y)
         t0 = time.time()
+        y = x
         for _ in range(args.iters):
-            y = fn(x, w)
+            y = fn(y, w)  # serial chain: step i+1 consumes step i's output
         jax.block_until_ready(y)
         dt_s = (time.time() - t0) / args.iters
         results[name] = dt_s
