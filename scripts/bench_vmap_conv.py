@@ -113,10 +113,12 @@ def main() -> None:
         print(f"{name:14s} {dt_s * 1e3:8.3f} ms  "
               f"{flops / dt_s / 1e12:6.2f} TF/s")
 
-    # numeric agreement
-    y_ref = np.asarray(candidates["sequential"](x, w), np.float32)
-    y_tap = np.asarray(candidates["vmap_tapmm"](x, w), np.float32)
-    err = np.max(np.abs(y_ref - y_tap)) / (np.max(np.abs(y_ref)) + 1e-9)
+    # numeric agreement — reduce ON DEVICE (fetching full volumes over the
+    # axon relay tunnel takes tens of minutes for GB-scale arrays)
+    y_ref = candidates["sequential"](x, w).astype(jnp.float32)
+    y_tap = candidates["vmap_tapmm"](x, w).astype(jnp.float32)
+    err = float(jnp.max(jnp.abs(y_ref - y_tap)) /
+                (jnp.max(jnp.abs(y_ref)) + 1e-9))
     print(f"tap-matmul max rel err vs conv: {err:.2e}")
     print(f"speedup tapmm vs grouped: "
           f"{results['vmap_grouped'] / results['vmap_tapmm']:.2f}x; "
