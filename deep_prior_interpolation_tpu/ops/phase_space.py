@@ -23,10 +23,14 @@ Key identities (1-D; products of dims in N-D, all exact):
   is a stride-2 VALID conv with kernel ``k+1`` and output channel (n,psi):
   ``W4[rho,c,(n,psi)] = W[rho-psi,c,n]`` — no explicit space-to-depth.
 * interior (phase -> phase): with ``psi+t = 2s+phi``, a same-pad k conv is a
-  VALID ``k//2+1`` conv over the re-padded phase tensor with
-  ``W'[s,(c,phi),(n,psi)] = W[2s+phi-psi,c,n]``.
-* stride-2 exit (phase -> plain, half res): ``t = 2a+phi`` gives
-  ``W''[a,(c,phi),n] = W[2a+phi,c,n]``.
+  kernel-(2S+1) conv (S=(p+1)//2) over the RAW phase tensor with ordinary
+  zero padding (S,S): ``W'[s,(c,phi),(n,psi)] = W[2s+phi-psi+p,c,n]`` —
+  the phase swap lives in the kernel's zero pattern, so no data-movement op
+  ever materialises (the earlier ``phase_pad`` + VALID k//2+1 formulation
+  was FLOP-minimal but its rank-8 layout views dominated the TPU profile).
+* stride-2 exit (phase -> plain, half res): ``t = 2s+phi`` gives a
+  kernel-(ceil(p/2)+p//2+1) conv with padding (ceil(p/2), p//2):
+  ``W''[s,(c,phi),n] = W[2s+phi+p,c,n]``.
 * nearest x2 upsample (plain half-res -> phase full-res) is a channel repeat;
   linear x2 upsample is a separable 2-tap stencil per dim (weights 1/4, 3/4,
   edge-clamped — jax.image.resize 'linear' half-pixel semantics).
@@ -46,8 +50,9 @@ import jax.numpy as jnp
 
 __all__ = [
     "space_to_depth", "depth_to_space", "phase_pad", "phase_kernel",
-    "entry_kernel", "conv_dimension_numbers", "phase_entry_conv",
-    "phase_conv", "phase_exit_conv", "upsample_into_phase", "phase_channels",
+    "phase_paddings", "entry_kernel", "conv_dimension_numbers",
+    "phase_entry_conv", "phase_conv", "phase_exit_conv",
+    "upsample_into_phase", "phase_channels",
 ]
 
 
@@ -126,13 +131,6 @@ def phase_pad(x: jnp.ndarray) -> jnp.ndarray:
 # weight transforms (trace-time gathers; differentiable, tiny)
 # ----------------------------------------------------------------------
 
-def _grids(d: int, kp: int, nphi: int):
-    s = np.stack(np.meshgrid(*[np.arange(kp)] * d, indexing="ij"), -1)
-    phi = np.stack(np.meshgrid(*[np.arange(2)] * d, indexing="ij"),
-                   -1).reshape(-1, d)
-    return s, phi
-
-
 def _gather_kernel(w: jnp.ndarray, t: np.ndarray, valid: np.ndarray):
     wg = w[tuple(np.clip(t, 0, w.shape[0] - 1)[..., i]
                  for i in range(t.shape[-1]))]
@@ -140,28 +138,60 @@ def _gather_kernel(w: jnp.ndarray, t: np.ndarray, valid: np.ndarray):
 
 
 def phase_kernel(w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    """(k^d, Cin, Cout) -> VALID kernel over phase-blocked inputs.
+    """(k^d, Cin, Cout) -> kernel over RAW phase-blocked inputs (no
+    phase_pad; the phase swap is folded into the kernel's (phi, psi) zero
+    pattern so the conv runs with ordinary spatial zero-padding — see
+    :func:`phase_paddings`).
 
-    stride 1 -> (kp^d, Cin*B, Cout*B); stride 2 -> (kp^d, Cin*B, Cout)
-    where kp = k//2 + 1.
+    The earlier formulation (kernel k//2+1, VALID, over ``phase_pad`` input)
+    is the FLOP-minimal one, but materialising phase_pad costs rank-8
+    layout views whose relayout copies dominated the real-TPU profile
+    (25% of step time + most of another 30% in copies, vs 1.6% for the
+    convs themselves). Trading kernel-2^d for kernel-3^d (3.4x the conv
+    FLOPs at k=3) keeps the tensor in its native (N, *sp, C*B) tiling with
+    zero data-movement ops.
+
+    stride 1 -> (ks^d, Cin*B, Cout*B): y[q,psi] = sum_{s,phi}
+    W[2s+phi-psi+p] x[q+s, phi], s in [-S, S], S = (p+1)//2.
+    stride 2 -> (ke^d, Cin*B, Cout) (the phase->plain exit on the stride-2
+    grid): y[m] = sum_{s,phi} W[2s+phi+p] x[m+s, phi], s in [-ceil(p/2),
+    p//2].
     """
     d = w.ndim - 2
     k = w.shape[0]
     b = 2 ** d
     cin, cout = w.shape[-2], w.shape[-1]
-    s, phi = _grids(d, k // 2 + 1, b)
+    p = (k - 1) // 2
+    phi = np.stack(np.meshgrid(*[np.arange(2)] * d, indexing="ij"),
+                   -1).reshape(-1, d)
     if stride == 1:
+        lo = hi = (p + 1) // 2
+        ks = lo + hi + 1
+        s = np.stack(np.meshgrid(*[np.arange(ks) - lo] * d,
+                                 indexing="ij"), -1)
         t = (2 * s[..., None, None, :] + phi[(None,) * d][..., :, None, :]
-             - phi[(None,) * d][..., None, :, :])
+             - phi[(None,) * d][..., None, :, :]) + p
         valid = ((t >= 0) & (t < k)).all(-1)
-        wg = _gather_kernel(w, t, valid)          # (kp.., Bphi, Bpsi, Ci, Co)
-        wg = jnp.moveaxis(wg, (-4, -3), (-3, -1))  # (kp.., Ci, Bphi, Co, Bpsi)
+        wg = _gather_kernel(w, t, valid)          # (ks.., Bphi, Bpsi, Ci, Co)
+        wg = jnp.moveaxis(wg, (-4, -3), (-3, -1))  # (ks.., Ci, Bphi, Co, Bpsi)
         return wg.reshape(wg.shape[:d] + (cin * b, cout * b))
-    t = 2 * s[..., None, :] + phi[(None,) * d]
+    lo, hi = -(-p // 2), p // 2
+    ke = lo + hi + 1
+    s = np.stack(np.meshgrid(*[np.arange(ke) - lo] * d, indexing="ij"), -1)
+    t = 2 * s[..., None, :] + phi[(None,) * d] + p
     valid = ((t >= 0) & (t < k)).all(-1)
-    wg = _gather_kernel(w, t, valid)               # (kp.., Bphi, Ci, Co)
-    wg = jnp.moveaxis(wg, -3, -2)                  # (kp.., Ci, Bphi, Co)
+    wg = _gather_kernel(w, t, valid)               # (ke.., Bphi, Ci, Co)
+    wg = jnp.moveaxis(wg, -3, -2)                  # (ke.., Ci, Bphi, Co)
     return wg.reshape(wg.shape[:d] + (cin * b, cout))
+
+
+def phase_paddings(k: int, stride: int = 1) -> Tuple[int, int]:
+    """(lo, hi) spatial zero-padding pairing :func:`phase_kernel`."""
+    p = (k - 1) // 2
+    if stride == 1:
+        lo = hi = (p + 1) // 2
+        return lo, hi
+    return -(-p // 2), p // 2
 
 
 def entry_kernel(w: jnp.ndarray) -> jnp.ndarray:
@@ -198,12 +228,12 @@ def phase_entry_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def phase_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Same-pad stride-1 conv, phase input -> phase output."""
+    """Same-pad stride-1 conv, phase input -> phase output (no phase_pad:
+    plain conv with the swap-folded kernel, native layout throughout)."""
     d = w.ndim - 2
-    if w.shape[0] > 1:
-        x = phase_pad(x)
     return jax.lax.conv_general_dilated(
-        x, phase_kernel(w, 1), (1,) * d, "VALID",
+        x, phase_kernel(w, 1), (1,) * d,
+        [phase_paddings(w.shape[0], 1)] * d,
         dimension_numbers=conv_dimension_numbers(d),
         preferred_element_type=x.dtype)
 
@@ -211,10 +241,9 @@ def phase_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def phase_exit_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Same-pad STRIDE-2 conv, phase input -> plain output at half res."""
     d = w.ndim - 2
-    if w.shape[0] > 1:
-        x = phase_pad(x)
     return jax.lax.conv_general_dilated(
-        x, phase_kernel(w, 2), (1,) * d, "VALID",
+        x, phase_kernel(w, 2), (1,) * d,
+        [phase_paddings(w.shape[0], 2)] * d,
         dimension_numbers=conv_dimension_numbers(d),
         preferred_element_type=x.dtype)
 
