@@ -8,8 +8,10 @@ the s/iter actually goes (MXU convs vs elementwise/norm vs RNG vs copies).
 
 Usage: python scripts/profile_flagship.py [--outdir /tmp/prof] [--top 40]
        python scripts/profile_flagship.py --parse-only /tmp/prof
-Env: same BENCH_* knobs as bench.py. Needs
-     PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python for the proto parse.
+Env: same BENCH_* knobs as bench.py. The TF tsl xplane proto parses fine
+with the default C++ protobuf backend (fast — ~8 s for a 700 MB trace);
+only the tensorboard_plugin_profile protos need the pure-python fallback,
+and we do not use them.
 """
 from __future__ import annotations
 
@@ -20,25 +22,25 @@ import re
 import sys
 from collections import defaultdict
 
-os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-
 
 def _classify(name: str) -> str:
     n = name.lower()
-    if "convolution" in n or "conv" in n and "fusion" not in n:
-        return "conv"
+    if "convolution" in n:
+        return "conv (MXU)"
     if "dot" in n:
         return "matmul"
     if "threefry" in n or "rng" in n or "random" in n:
         return "rng"
     if "all-reduce" in n or "all-gather" in n or "collective" in n:
         return "collective"
-    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
-        return "layout"
+    if n.startswith("%copy") or "transpose" in n or "bitcast" in n:
+        return "layout copies"
     if "reduce" in n:
-        return "reduce"
-    if "fusion" in n or "add" in n or "multiply" in n or "select" in n:
-        return "elementwise/fused"
+        return "reductions"
+    if "fusion" in n:
+        return "fusions (elementwise/norm/pad)"
+    if "pad" in n or "slice" in n or "concatenate" in n or "reshape" in n:
+        return "pad/slice/concat"
     return "other"
 
 
@@ -67,13 +69,14 @@ def summarize(root: str, top: int) -> None:
     for p in dev_planes:
         md = p.event_metadata
         for line in p.lines:
-            # XLA op lines carry the HLO-level events; step lines etc. would
-            # double-count, so keep only op/XLA lines
-            if not re.search(r"xla|ops|stream", line.name, re.I) \
-                    and line.name:
+            # the "XLA Ops" line carries HLO-level events; other lines
+            # (Steps, XLA Modules) are parent spans and would double-count
+            if line.name not in ("XLA Ops", ""):
                 continue
             for ev in line.events:
                 name = md[ev.metadata_id].name
+                if name.startswith("%while"):  # scan-body parent span
+                    continue
                 dur = ev.duration_ps / 1e9  # -> ms
                 agg[name] += dur
                 cat[_classify(name)] += dur
@@ -104,6 +107,8 @@ def main() -> None:
         import importlib
 
         sys.argv = [sys.argv[0]]
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))  # repo root, for `import bench`
         bench = importlib.import_module("bench")
         with jax.profiler.trace(args.outdir):
             bench.main()
