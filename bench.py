@@ -66,12 +66,14 @@ def main() -> None:
     # auto-rematerialisation search at compile time
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
-    # measured on v5e with phase-space execution: levels=2 fits HBM (the
-    # half-resolution phase activations freed the ~0.5 GB it overflowed by
-    # in round 1) and runs 762 s/1000 iters vs 791 at levels=3; levels=0
-    # (remat everything) is 2.2x slower from memory-pressure copies. The
-    # fallback ladder below retries 3 then 0 on OOM.
-    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "2"))
+    # measured on v5e with phase-space execution (s/1000 iters): levels=1 ->
+    # 643, levels=2 -> 762 (713 with swap-folded kernels), levels=3 -> 791;
+    # levels=0 (remat everything) is 2.2x slower from memory-pressure
+    # copies. Phase-space freed the HBM that made levels<3 OOM in round 1.
+    # Caveat: the levels=1 graph takes ~100 min to compile cold (XLA works
+    # hard at that memory pressure); it is instant from the persistent
+    # compilation cache. The fallback ladder below retries deeper on OOM.
+    remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "1"))
 
     vol = synth_hyperbolic(nt, nx, ny)
     rng = np.random.RandomState(1)
@@ -116,7 +118,7 @@ def main() -> None:
     # warmup chunk (compile + first run); on HBM overflow fall back to
     # checkpointing more scales (cheaper memory, more recompute)
     fallbacks = []
-    for x in [remat_levels, 3, 0]:
+    for x in [remat_levels, 2, 3, 0]:
         if x not in fallbacks:
             fallbacks.append(x)
     for lv in fallbacks:
