@@ -106,7 +106,7 @@ class Config:
     # phase-space (space-to-depth) execution of the small-channel scales of
     # MulResUnet — exact math, ~8x MXU lane utilisation (ops/phase_space.py)
     phase_space: bool = False
-    phase_levels: int = 3  # resolutions 0..N-1 phase-resident; 0 -> all
+    phase_levels: int = 3  # resolutions 0..N-1 phase-resident; 0 -> none, -1 -> all
     batch_patches: int = 0  # 0 -> sequential; N -> vmap N same-shaped patches
     mesh_shape: int = 0  # 0 -> no mesh; N -> 1-D patch mesh over N devices
 
@@ -222,7 +222,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--scan_chunk", type=int, default=50)
     p.add_argument("--fused_loss", action="store_true", default=False)
     p.add_argument("--phase_space", action="store_true", default=False)
-    p.add_argument("--phase_levels", type=int, default=3)
+    p.add_argument("--phase_levels", type=int, default=3,
+                   help="how many of the largest resolutions run phase-blocked"
+                        " (0 disables phasing, -1 phases all levels)")
     p.add_argument("--batch_patches", type=int, default=0)
     p.add_argument("--mesh_shape", type=int, default=0)
     return p

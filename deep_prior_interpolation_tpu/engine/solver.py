@@ -334,7 +334,8 @@ def pad_multiple_for(cfg: Config) -> int:
     if cfg.phase_space:
         # resolution r phase-blocks to r/2: every phased level needs its
         # spatial dims even (models/mulresunet.py phase assert)
-        levels = cfg.phase_levels or len(cfg.filters)
+        levels = (len(cfg.filters) if cfg.phase_levels < 0
+                  else cfg.phase_levels)
         mult = max(mult, 2 ** min(levels, len(cfg.filters)))
     return mult
 

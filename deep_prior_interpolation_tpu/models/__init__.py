@@ -48,8 +48,9 @@ def get_net(cfg: Config, outchannel: int = 1):
         return MulResUnet(filters=tuple(cfg.filters), skip=tuple(cfg.skip),
                           dtype=dtype, remat=cfg.remat,
                           remat_levels=cfg.remat_levels or None,
-                          phase_space=cfg.phase_space,
-                          phase_levels=cfg.phase_levels or None, **common)
+                          phase_space=cfg.phase_space and cfg.phase_levels != 0,
+                          phase_levels=(None if cfg.phase_levels < 0
+                                        else cfg.phase_levels), **common)
     if name == "skip":
         from .skip import SkipNet
         return SkipNet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)

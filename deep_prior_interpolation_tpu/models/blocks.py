@@ -110,8 +110,11 @@ class Conv(nn.Module):
 
       * plain -> phase: stride must be 1; lowers to a fused stride-2
         kernel-(k+1) conv emitting the phase layout directly.
-      * phase -> phase: stride-1 VALID kernel-(k//2+1) conv on the re-phased
-        padding, channels x 2^ndim on both sides.
+      * phase -> phase: stride-1 conv with the swap-folded kernel
+        (phase_space.phase_kernel zero pattern) and ordinary zero padding
+        (phase_space.phase_paddings) over the raw (N, *sp, C*B) tensor;
+        channels x 2^ndim on both sides. No phase-component views in the
+        hot path.
       * phase -> plain: stride must be 2 (the natural exit — the stride-2
         output grid IS the phase grid).
     """

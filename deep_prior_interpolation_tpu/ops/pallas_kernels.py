@@ -112,7 +112,7 @@ def fused_loss_metrics(out: jnp.ndarray, img: jnp.ndarray, mask: jnp.ndarray,
     var_t = s[2] / n - mean_t * mean_t
     var_o = s[6] / n - mean_o * mean_o
     pcorr_v = cov / jnp.sqrt(var_t * var_o)
-    loss_v = mae_v if loss == "mae" else mse_v
+    loss_v = mae_v if loss in ("mae", "l1") else mse_v
     return loss_v, {"snr": snr_v, "pcorr": pcorr_v, "mae": mae_v, "mse": mse_v}
 
 

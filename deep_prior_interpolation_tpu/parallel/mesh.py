@@ -151,6 +151,7 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     snapshots: List[Dict[int, np.ndarray]] = [{} for _ in range(B)]
 
     start = time.time()
+    lane_elapsed: List[Optional[float]] = [None] * B
     for c in range(n_chunks):
         # host numpy on purpose: jit places it; an eager jnp.arange would
         # land on the process-default backend, not the mesh's
@@ -168,9 +169,17 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
             last = np.asarray(jax.device_get(carry["out_last"]), np.float32)
             for b in range(B):
                 snapshots[b][end_iter] = last[b, 0]
-        if bool(np.all(jax.device_get(carry["done"]))):
+        done = np.asarray(jax.device_get(carry["done"]))
+        now = time.time() - start
+        for b in range(B):
+            # wall-clock until the chunk this lane froze in: honest per-lane
+            # attribution (the lanes run concurrently, so sums exceed wall)
+            if lane_elapsed[b] is None and bool(done[b]):
+                lane_elapsed[b] = now
+        if bool(np.all(done)):
             break
     elapsed = time.time() - start
+    lane_elapsed = [e if e is not None else elapsed for e in lane_elapsed]
 
     out_best = np.asarray(jax.device_get(carry["out_best"]), np.float32)
     results = []
@@ -189,7 +198,7 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
             pocs_b = np.asarray(jax.device_get(proj)[0], np.float32)
         results.append(SolveResult(
             out_best=out_best[b, 0], history=hists[b], params=params_b,
-            elapsed=elapsed / B, iters_run=iters_run[b],
+            elapsed=lane_elapsed[b], iters_run=iters_run[b],
             stopped_early=iters_run[b] < cfg.epochs, snapshots=snapshots[b],
             noise=noise_b, pocs=pocs_b))
     return results

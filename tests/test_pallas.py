@@ -44,6 +44,19 @@ def test_fused_gradients_match(problem):
                                atol=1e-6)
 
 
+def test_fused_l1_alias_matches_mae(problem):
+    """loss='l1' (the CLI alias the solver accepts) must select the MAE sum,
+    not silently fall through to MSE (advisor round-2, medium)."""
+    out, img, mask = problem
+    loss_l1, _ = fused_loss_metrics(out, img, mask, "l1", interpret=True)
+    np.testing.assert_allclose(float(loss_l1), float(masked_mae(out, img, mask)),
+                               rtol=1e-5)
+    g_l1 = jax.grad(
+        lambda o: fused_loss_metrics(o, img, mask, "l1", interpret=True)[0])(out)
+    g_ref = jax.grad(lambda o: masked_mae(o, img, mask))(out)
+    np.testing.assert_allclose(np.asarray(g_l1), np.asarray(g_ref), atol=1e-6)
+
+
 def test_fused_gradients_mse(problem):
     out, img, mask = problem
 
