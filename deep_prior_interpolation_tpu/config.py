@@ -91,6 +91,11 @@ class Config:
     pocs_alpha: float = 0.1
     pocs_thresh: float = 5.0
     pocs_weight: Optional[float] = None
+    # adaptive-eps gradient semantics: 'stop_grad' (the published intent —
+    # eps is a constant weight each iteration) or 'attached' (the reference
+    # AS EXECUTED: main_pocs.py:190 discards eps.detach(), so eps*reg == main
+    # identically and the regulariser adds no gradient direction)
+    pocs_eps_mode: str = "stop_grad"
 
     # --- TPU runtime (new) ---
     seed: int = 0
@@ -222,6 +227,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--scan_chunk", type=int, default=50)
     p.add_argument("--fused_loss", action="store_true", default=False)
     p.add_argument("--phase_space", action="store_true", default=False)
+    p.add_argument("--pocs_eps_mode", type=str, default="stop_grad",
+                   choices=["stop_grad", "attached"],
+                   help="adaptive-eps gradient semantics (attached = the "
+                        "reference as executed; see Config docstring)")
     p.add_argument("--phase_levels", type=int, default=3,
                    help="how many of the largest resolutions run phase-blocked"
                         " (0 disables phasing, -1 phases all levels)")

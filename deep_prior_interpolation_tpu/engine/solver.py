@@ -73,6 +73,12 @@ class StepSettings:
     forget_factor: int = 0
     pocs: bool = False
     pocs_adaptive: bool = True  # eps = main/reg vs fixed pocs_weight
+    # reference-as-executed adaptive eps: main_pocs.py:190's ``eps.detach()``
+    # discards its result, so eps stays attached and eps*reg == main
+    # IDENTICALLY as a function -> the regulariser contributes zero extra
+    # gradient direction (total = 2*main). Kept as an A/B mode so the
+    # intent-fix (stop_gradient, the default) is quantifiable.
+    pocs_eps_attached: bool = False
     track_last: bool = False
     takes_mask: bool = False  # partial-conv nets take (x, mask)
     opt_input: bool = False  # jointly optimise the input noise
@@ -106,6 +112,7 @@ class StepSettings:
                    param_noise=cfg.param_noise, dropout=cfg.dropout,
                    forget_factor=cfg.data_forgetting_factor,
                    pocs=cfg.pocs, pocs_adaptive=cfg.pocs_weight is None,
+                   pocs_eps_attached=cfg.pocs_eps_mode == "attached",
                    track_last=track_last,
                    takes_mask=takes_mask,
                    opt_input=opt_input,
@@ -235,7 +242,9 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
                 proj = jax.lax.stop_gradient(proj)
                 reg = L.mse(out, proj)
                 if s.pocs_adaptive:
-                    eps = jax.lax.stop_gradient(main / reg)
+                    eps = main / reg
+                    if not s.pocs_eps_attached:
+                        eps = jax.lax.stop_gradient(eps)
                 else:
                     eps = hyper["pocs_weight"].astype(main.dtype)
                 total = main + eps * reg

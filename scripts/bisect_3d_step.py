@@ -255,17 +255,92 @@ def main() -> None:
     flat_g = jax.tree_util.tree_flatten_with_path(grads_j)[0]
     flat_r = {jax.tree_util.keystr(p): l for p, l in
               jax.tree_util.tree_flatten_with_path(grads_ref)[0]}
-    worst_key, worst = None, 0.0
+
+    # Classify: conv kernels, Norm scale/bias, conv biases. A conv bias that
+    # feeds a BatchNorm has EXACTLY zero gradient in exact arithmetic (the
+    # norm subtracts the mean), so both frameworks produce numerical noise
+    # there — compare those in ABSOLUTE terms, everything else relatively.
+    by_class: dict = {}
     for p, g in flat_g:
         k = jax.tree_util.keystr(p)
-        e = rel_err(g, flat_r[k])
-        if e > worst:
-            worst_key, worst = k, e
-    report["grad_max_rel_err"] = worst
-    report["grad_worst_param"] = worst_key
-    print(f"grad max rel err: {worst:.2e}  ({worst_key})")
+        if k.endswith("['kernel']"):
+            cls = "conv_kernel"
+        elif "Norm" in k.split("[")[-2]:
+            cls = "norm_affine"
+        elif k == "['Conv_4']['bias']":
+            cls = "head_bias"  # output conv: NOT followed by a norm
+        else:
+            cls = "pre_norm_bias"
+        r = flat_r[k]
+        e = rel_err(g, r)
+        a = float(np.abs(np.asarray(g, np.float64)
+                         - np.asarray(r, np.float64)).max())
+        mag = float(max(np.abs(np.asarray(r)).max(),
+                        np.abs(np.asarray(g)).max()))
+        cur = by_class.setdefault(cls, {"max_rel": 0.0, "max_abs": 0.0,
+                                        "max_mag": 0.0, "worst": None})
+        if e > cur["max_rel"]:
+            cur["max_rel"], cur["worst"] = e, k
+        cur["max_abs"] = max(cur["max_abs"], a)
+        cur["max_mag"] = max(cur["max_mag"], mag)
+    report["grad_by_class"] = by_class
+    for cls, st in by_class.items():
+        print(f"grad[{cls}]: max rel {st['max_rel']:.2e}  "
+              f"max abs diff {st['max_abs']:.2e}  "
+              f"max magnitude {st['max_mag']:.2e}  ({st['worst']})")
 
-    # --- 4. K side-by-side Adam steps -----------------------------------
+    # --- 4a. K side-by-side SGD steps ------------------------------------
+    # SGD's update is linear in the gradient, so it does NOT amplify the
+    # sign-of-noise on the exactly-zero pre-norm bias gradients the way Adam
+    # (update ~ g/|g| when v ~ g^2) does. If gradients are semantically
+    # right, the SGD trajectories must track each other tightly.
+    import copy
+    net_sgd = copy.deepcopy(net)
+    opt_ts = torch.optim.SGD(net_sgd.parameters(), lr=1e-2)
+    params_s = params
+    sgd_errs = []
+    for k in range(args.steps):
+        opt_ts.zero_grad()
+        torch.nn.L1Loss()(net_sgd(inp_t) * mask_t, img_t * mask_t).backward()
+        opt_ts.step()
+        g = jax.grad(loss_fn)(params_s)
+        params_s = jax.tree_util.tree_map(lambda p, gg: p - 1e-2 * gg,
+                                          params_s, g)
+        with torch.no_grad():
+            o_t = net_sgd(inp_t).numpy()[0].transpose(1, 2, 3, 0)
+        o_j = np.asarray(model.apply({"params": params_s}, inp_j))[0]
+        sgd_errs.append(rel_err(o_j, o_t))
+        print(f"after SGD step {k + 1}: forward rel err {sgd_errs[-1]:.2e}")
+    report["sgd_step_forward_rel_errs"] = sgd_errs
+
+    # --- 4a-control: torch vs torch with an fp-noise perturbation --------
+    # Lyapunov control: if a 1e-6-relative parameter perturbation of the
+    # SAME torch net diverges at the same rate under identical SGD steps,
+    # then cross-framework trajectory divergence is intrinsic chaos (every
+    # Norm divides by data-dependent statistics), not a semantic gap — and
+    # statistical (multi-seed) goldens are the correct parity instrument.
+    net_a = copy.deepcopy(net)
+    net_b = copy.deepcopy(net)
+    with torch.no_grad():
+        for p in net_b.parameters():
+            p.add_(1e-6 * p.abs().mean() * torch.randn_like(p))
+    opt_a = torch.optim.SGD(net_a.parameters(), lr=1e-2)
+    opt_b = torch.optim.SGD(net_b.parameters(), lr=1e-2)
+    ctrl_errs = []
+    for k in range(args.steps):
+        for nn_, op in ((net_a, opt_a), (net_b, opt_b)):
+            op.zero_grad()
+            torch.nn.L1Loss()(nn_(inp_t) * mask_t, img_t * mask_t).backward()
+            op.step()
+        with torch.no_grad():
+            oa = net_a(inp_t).numpy()[0].transpose(1, 2, 3, 0)
+            ob = net_b(inp_t).numpy()[0].transpose(1, 2, 3, 0)
+        ctrl_errs.append(rel_err(oa, ob))
+        print(f"control (torch vs perturbed torch) SGD step {k + 1}: "
+              f"forward rel err {ctrl_errs[-1]:.2e}")
+    report["control_perturbed_torch_rel_errs"] = ctrl_errs
+
+    # --- 4b. K side-by-side Adam steps -----------------------------------
     opt_t = torch.optim.Adam(net.parameters(), lr=1e-3)
     opt_j = optax.adam(1e-3)
     opt_state = opt_j.init(params)

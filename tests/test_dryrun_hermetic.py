@@ -25,7 +25,7 @@ def test_dryrun_multichip_subprocess_like_driver():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400)
     assert proc.returncode == 0, \
         f"dryrun failed\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     assert "dryrun_multichip OK: 8 devices" in proc.stdout
@@ -40,7 +40,7 @@ def test_dryrun_multichip_without_forced_device_count():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(4)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400)
     assert proc.returncode == 0, \
         f"dryrun failed\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     assert "dryrun_multichip OK: 4 devices" in proc.stdout

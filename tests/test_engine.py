@@ -120,3 +120,36 @@ def test_mse_loss_and_odd_shape(rng):
     cfg = tiny_cfg(epochs=10, loss="mse")
     res = DIPSolver(cfg, outchannel=1).solve(img, mask, seed=0)
     assert res.out_best.shape == img.shape
+
+
+def test_pocs_eps_modes(rng):
+    """Adaptive-eps gradient semantics (solver.py pocs_eps_attached).
+
+    In VALUE, total = main + (main/reg)*reg = 2*main in BOTH modes; in
+    GRADIENT, 'attached' (the reference as executed, main_pocs.py:190's
+    no-op detach) contributes nothing beyond 2*grad(main) — which Adam
+    normalises away — while 'stop_grad' (the published intent) actually
+    pulls toward the f-k projection.
+    """
+    img, mask = synth_problem(rng)
+    base = dict(epochs=12, scan_chunk=6)
+    r_plain = DIPSolver(tiny_cfg(**base), 1).solve(img, mask, seed=0)
+    r_att = DIPSolver(tiny_cfg(**base, pocs=True, pocs_eps_mode="attached"),
+                      1).solve(img, mask, seed=0)
+    r_stop = DIPSolver(tiny_cfg(**base, pocs=True), 1).solve(img, mask, seed=0)
+
+    # value identity in both POCS modes
+    for r in (r_att, r_stop):
+        np.testing.assert_allclose(np.asarray(r.history.loss),
+                                   2 * np.asarray(r.history.df), rtol=1e-4)
+    # attached == plain DIP up to Adam's eps + fp drift (gradient is exactly
+    # 2*main's; drift compounds chaotically, so compare the early iterates)
+    np.testing.assert_allclose(r_att.history.df[:8], r_plain.history.loss[:8],
+                               rtol=6e-3, atol=1e-6)
+    # stop_grad genuinely regularises: the data-fit trajectory departs by
+    # far more than the attached mode's fp drift
+    drift_att = np.abs(np.asarray(r_att.history.df[:12])
+                       - np.asarray(r_plain.history.loss[:12])).max()
+    drift_stop = np.abs(np.asarray(r_stop.history.df[:12])
+                        - np.asarray(r_plain.history.loss[:12])).max()
+    assert drift_stop > 5 * drift_att, (drift_att, drift_stop)

@@ -80,3 +80,78 @@ def test_batched_early_stop(rng):
     solver = DIPSolver(c, outchannel=1)
     results = solve_patches_batched(c, solver, patches)
     assert all(r.iters_run < 30 for r in results)
+
+
+def make_patches_3d(rng, n, nt=16, nx=8, ny=8):
+    """Half structured (keeps improving), half noise (dries up early)."""
+    t = np.linspace(0, 1, nt)[:, None, None]
+    x = np.linspace(0, 1, nx)[None, :, None]
+    y = np.linspace(0, 1, ny)[None, None, :]
+    out = []
+    for i in range(n):
+        if i % 2 == 0:
+            img = np.sin(2 * np.pi * ((2 + i) * t + 2 * x + y)).astype(np.float32)
+        else:
+            img = rng.randn(nt, nx, ny).astype(np.float32)
+        mask = np.repeat((rng.rand(1, nx, ny) > 0.4).astype(np.float32), nt, 0)
+        out.append({"image": img[..., None], "mask": mask[..., None],
+                    "name": str(i)})
+    return out
+
+
+def cfg3d(**kw):
+    base = dict(datadim="3d", epochs=9, inputdepth=4, filters=[8, 16],
+                skip=[4], scan_chunk=3, gain=1.0, upsample="linear",
+                phase_space=True, phase_levels=1, remat=True)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_sharded_3d_phase_remat_matches_sequential(rng):
+    """3D patches with phase-space + remat over the mesh, >= 3 chunks; every
+    lane must reproduce the sequential solver (same per-patch key)."""
+    patches = make_patches_3d(rng, 8)
+    c = cfg3d(mesh_shape=8)
+    solver = DIPSolver(c, outchannel=1)
+    results = solve_patches_batched(c, solver, patches)
+    seq_solver = DIPSolver(c, outchannel=1)
+    for i, (patch, r) in enumerate(zip(patches, results)):
+        seq = seq_solver.solve(patch["image"], patch["mask"],
+                               key=jax.random.PRNGKey(c.seed + i))
+        np.testing.assert_allclose(r.history.loss[:3], seq.history.loss[:3],
+                                   rtol=1e-3, atol=1e-6)
+        assert r.out_best.shape == seq.out_best.shape
+        assert np.all(np.isfinite(r.out_best))
+
+
+def test_sharded_divergent_early_stop(rng):
+    """Lanes stopping at different iterations across several chunks: the
+    frozen lanes' state/history must match their sequential runs exactly
+    (the done-masking machinery, solver._mask_tree / mesh recorded flags)."""
+    patches = make_patches_3d(rng, 8)
+    c = cfg3d(mesh_shape=8, earlystop_patience=2, earlystop_min_delta=2.0)
+    solver = DIPSolver(c, outchannel=1)
+    results = solve_patches_batched(c, solver, patches)
+    seq_solver = DIPSolver(c, outchannel=1)
+    iters = []
+    for i, (patch, r) in enumerate(zip(patches, results)):
+        seq = seq_solver.solve(patch["image"], patch["mask"],
+                               key=jax.random.PRNGKey(c.seed + i))
+        assert r.iters_run == seq.iters_run, (i, r.iters_run, seq.iters_run)
+        assert len(r.history.loss) == r.iters_run  # frozen lanes not extended
+        iters.append(r.iters_run)
+    assert len(set(iters)) > 1, f"early stops did not diverge: {iters}"
+
+
+def test_sharded_pocs(rng):
+    """DIP+POCS (FFT projection + adaptive eps) inside the sharded step."""
+    patches = make_patches(rng, 8)
+    c = cfg(mesh_shape=8, epochs=6, scan_chunk=2, pocs=True)
+    solver = DIPSolver(c, outchannel=1)
+    results = solve_patches_batched(c, solver, patches)
+    assert len(results) == 8
+    for r in results:
+        assert np.all(np.isfinite(r.history.loss))
+        assert np.all(np.isfinite(r.history.eps))
+        assert r.pocs is not None and r.pocs.shape == r.out_best.shape
+        assert np.all(np.isfinite(r.pocs))
