@@ -81,7 +81,9 @@ def main() -> None:
     img = (vol * 40.0)[..., None]  # gain 40 (notebook cell 4)
     msk = mask[..., None]
 
-    virtual = os.environ.get("BENCH_VIRTUAL", "1") == "1"
+    # materialised input canvas measured faster than per-step regeneration
+    # once phase-space freed the HBM (525.8 vs 535.1 s/1000, round 3)
+    virtual = os.environ.get("BENCH_VIRTUAL", "0") == "1"
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     phase = os.environ.get("BENCH_PHASE", "1") == "1"
     phase_levels = int(os.environ.get("BENCH_PHASE_LEVELS", "3"))

@@ -186,6 +186,11 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--out", type=str, default="golden_3d.json")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--only", choices=["both", "ours", "reference"],
+                    default="both",
+                    help="run only one side and merge into --out (lets the "
+                         "torch side run on the 1-vCPU host while the TPU "
+                         "is busy, and ours on the TPU later)")
     ap.add_argument("--platform", type=str, default="cpu",
                     help="'cpu' pins our side off the TPU relay (hermetic); "
                          "'default' keeps the process backend (TPU under "
@@ -195,18 +200,31 @@ def main() -> None:
     import jax
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
+    do_ours = args.only in ("both", "ours")
+    do_ref = args.only in ("both", "reference") and not args.skip_reference
 
-    results = {"iters": args.iters, "seeds": args.seeds,
-               "workload": f"hyperbolic events {SHAPE}, 60% traces dropped, "
-               f"gain {GAIN}, MulResUnet3D defaults + trilinear, L1, "
-               "Adam 1e-3 (poc_3D cell 4 shrunk)"}
+    results = {}
+    if os.path.exists(args.out) and args.only != "both":
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        if prev.get("iters") == args.iters and prev.get("seeds") == args.seeds:
+            results = prev  # merge the other side
+        else:
+            print(f"NOT merging {args.out}: iters/seeds differ", flush=True)
+    results.update({"iters": args.iters, "seeds": args.seeds,
+                    "workload": f"hyperbolic events {SHAPE}, 60% traces "
+                    f"dropped, gain {GAIN}, MulResUnet3D defaults + "
+                    "trilinear, L1, Adam 1e-3 (poc_3D cell 4 shrunk)"})
+    results.setdefault("platforms", {})
 
     print("init/forward statistics...", flush=True)
-    results["init_ours"] = ours_stats(0)
-    print(f"  ours: {results['init_ours']}", flush=True)
-    if not args.skip_reference:
+    if do_ours:
+        results["init_ours"] = ours_stats(0)
+        print(f"  ours: {results['init_ours']}", flush=True)
+    if do_ref:
         results["init_reference"] = reference_stats(0)
         print(f"  ref : {results['init_reference']}", flush=True)
+    if "init_ours" in results and "init_reference" in results:
         ro, rr = results["init_ours"], results["init_reference"]
         results["init_checks"] = {
             "conv_std_ratio": ro["conv_std_mean"] / rr["conv_std_mean"],
@@ -215,16 +233,18 @@ def main() -> None:
         }
         print(f"  checks: {results['init_checks']}", flush=True)
 
-    print(f"running TPU-native solver x{args.seeds} seeds...", flush=True)
-    ours = []
-    for s in range(args.seeds):
-        img, mask = make_problem(s)
-        ours.append(run_ours(img, mask, args.iters, seed=s))
-        print(f"  seed {s}: best-SNR {ours[-1]['best_snr']:.2f} dB "
-              f"({ours[-1]['elapsed']:.0f}s)", flush=True)
-    results["ours"] = {k: _stats(ours, k) for k in ("best_snr", "elapsed")}
+    if do_ours:
+        print(f"running TPU-native solver x{args.seeds} seeds...", flush=True)
+        ours = []
+        for s in range(args.seeds):
+            img, mask = make_problem(s)
+            ours.append(run_ours(img, mask, args.iters, seed=s))
+            print(f"  seed {s}: best-SNR {ours[-1]['best_snr']:.2f} dB "
+                  f"({ours[-1]['elapsed']:.0f}s)", flush=True)
+        results["ours"] = {k: _stats(ours, k) for k in ("best_snr", "elapsed")}
+        results["platforms"]["ours"] = jax.default_backend()
 
-    if not args.skip_reference:
+    if do_ref:
         print(f"running reference (torch CPU) x{args.seeds} seeds...",
               flush=True)
         ref = []
@@ -235,7 +255,9 @@ def main() -> None:
                   f"({ref[-1]['elapsed']:.0f}s)", flush=True)
         results["reference"] = {k: _stats(ref, k)
                                 for k in ("best_snr", "elapsed")}
+        results["platforms"]["reference"] = "cpu (torch)"
 
+    if "ours" in results and "reference" in results:
         mo, so = (results["ours"]["best_snr"]["mean"],
                   results["ours"]["best_snr"]["std"])
         mr, sr = (results["reference"]["best_snr"]["mean"],
@@ -247,8 +269,6 @@ def main() -> None:
         overlap = (mo - so <= mr + sr) and (mr - sr <= mo + so)
         results["accept"] = bool(abs(mo - mr) <= 0.5
                                  or (args.seeds >= 5 and overlap))
-        results["platforms"] = {"ours": jax.default_backend(),
-                                "reference": "cpu (torch)"}
         print(f"best-SNR gap (ours - ref): {mo - mr:+.2f} dB  "
               f"accept={results['accept']}")
 

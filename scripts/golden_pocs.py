@@ -171,31 +171,44 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="golden_pocs.json")
     ap.add_argument("--platform", type=str, default="cpu")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--only", choices=["both", "ours", "reference"],
+                    default="both",
+                    help="run only one side and merge into --out")
     args = ap.parse_args()
 
     import jax
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
+    do_ours = args.only in ("both", "ours")
+    do_ref = args.only in ("both", "reference") and not args.skip_reference
 
     img, mask = load_lines()
-    results = {"iters": args.iters, "seeds": args.seeds,
-               "workload": "lines 170x100, MulResUnet2D, inputdepth 64, L1 "
-                           f"main + MSE reg, POCS alpha {POCS_ALPHA} thresh "
-                           f"{POCS_THRESH}%, Adam 1e-3 "
-                           "(main_pocs.py:160-254 defaults)"}
+    results = {}
+    if os.path.exists(args.out) and args.only != "both":
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        if prev.get("iters") == args.iters and prev.get("seeds") == args.seeds:
+            results = prev
+        else:
+            print(f"NOT merging {args.out}: iters/seeds differ", flush=True)
+    results.update({"iters": args.iters, "seeds": args.seeds,
+                    "workload": "lines 170x100, MulResUnet2D, inputdepth 64, "
+                                "L1 main + MSE reg, POCS alpha "
+                                f"{POCS_ALPHA} thresh {POCS_THRESH}%, Adam "
+                                "1e-3 (main_pocs.py:160-254 defaults)"})
 
-    for mode in ("stop_grad", "attached", "plain"):
-        runs = []
-        for s in range(args.seeds):
-            runs.append(run_ours(img, mask, args.iters, s, mode))
-            print(f"ours[{mode}] seed {s}: best-SNR "
-                  f"{runs[-1]['best_snr']:.2f} dB "
-                  f"({runs[-1]['elapsed']:.0f}s)", flush=True)
-        results[f"ours_{mode}"] = _summary(runs)
-    import jax as _jax
-    results["platform_ours"] = _jax.default_backend()
+    if do_ours:
+        for mode in ("stop_grad", "attached", "plain"):
+            runs = []
+            for s in range(args.seeds):
+                runs.append(run_ours(img, mask, args.iters, s, mode))
+                print(f"ours[{mode}] seed {s}: best-SNR "
+                      f"{runs[-1]['best_snr']:.2f} dB "
+                      f"({runs[-1]['elapsed']:.0f}s)", flush=True)
+            results[f"ours_{mode}"] = _summary(runs)
+        results["platform_ours"] = jax.default_backend()
 
-    if not args.skip_reference:
+    if do_ref:
         for mode in ("attached", "stop_grad"):
             runs = []
             for s in range(args.seeds):
@@ -205,6 +218,7 @@ def main() -> None:
                       f"({runs[-1]['elapsed']:.0f}s)", flush=True)
             results[f"reference_{mode}"] = _summary(runs)
 
+    if "ours_stop_grad" in results and "reference_stop_grad" in results:
         go, gr = (results["ours_stop_grad"]["best_snr"]["mean"],
                   results["reference_stop_grad"]["best_snr"]["mean"])
         results["stop_grad_gap_db"] = go - gr
