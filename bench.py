@@ -61,18 +61,14 @@ def main() -> None:
     nt, nx, ny = (int(v) for v in os.environ.get("BENCH_SHAPE", "256,128,128").split(","))
     iters_timed = int(os.environ.get("BENCH_ITERS", "100"))
     chunk = int(os.environ.get("BENCH_CHUNK", "25"))
-    # bf16 convs + per-block remat by default: the f32 no-remat variant of the
-    # full-size patch exceeds HBM and sends XLA into a pathological
-    # auto-rematerialisation search at compile time
+    # bf16 convs; NO remat by default since round 3: phase-space execution +
+    # bf16 + the materialised canvas fit the whole backward in HBM, and
+    # remat_levels=1 was re-executing every res-0 block's layout copies in
+    # the backward (s/1000 iters: no-remat 500.9 < remat1 525.8 < remat2
+    # ~610 < remat3 ~660 at the r3 code state). The f32 no-remat variant
+    # still exceeds HBM — never run BENCH_DTYPE=float32 without remat.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
-    # measured on v5e with phase-space execution (s/1000 iters): levels=1 ->
-    # 643, levels=2 -> 762 (713 with swap-folded kernels), levels=3 -> 791;
-    # levels=0 (remat everything) is 2.2x slower from memory-pressure
-    # copies. Phase-space freed the HBM that made levels<3 OOM in round 1.
-    # Caveat: the levels=1 graph takes ~100 min to compile cold (XLA works
-    # hard at that memory pressure); it is instant from the persistent
-    # compilation cache. The fallback ladder below retries deeper on OOM.
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     remat_levels = int(os.environ.get("BENCH_REMAT_LEVELS", "1"))
 
     vol = synth_hyperbolic(nt, nx, ny)
@@ -89,12 +85,12 @@ def main() -> None:
     phase_levels = int(os.environ.get("BENCH_PHASE_LEVELS", "3"))
     import jax.numpy as jnp
 
-    def setup(remat_lv):
+    def setup(remat_on, remat_lv):
         cfg = Config(datadim="3d", epochs=iters_timed + 2 * chunk, loss="mae",
                      lr=1e-3, inputdepth=64, filters=[16, 32, 64, 128, 256],
                      skip=[16, 32, 64, 128], upsample="linear", gain=40.0,
                      reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
-                     remat=remat, remat_levels=remat_lv,
+                     remat=remat_on, remat_levels=remat_lv,
                      virtual_input=virtual, fused_loss=fused,
                      phase_space=phase, phase_levels=phase_levels)
         solver = DIPSolver(cfg, outchannel=1)
@@ -118,22 +114,22 @@ def main() -> None:
         return run_chunk, carry, data, hyper
 
     # warmup chunk (compile + first run); on HBM overflow fall back to
-    # checkpointing more scales (cheaper memory, more recompute)
-    fallbacks = []
+    # checkpointing progressively more scales (cheaper memory, more recompute)
+    fallbacks = [] if remat else [(False, 0)]
     for x in [remat_levels, 2, 3, 0]:
-        if x not in fallbacks:
-            fallbacks.append(x)
-    for lv in fallbacks:
+        if (True, x) not in fallbacks:
+            fallbacks.append((True, x))
+    for r_on, lv in fallbacks:
         try:
-            run_chunk, carry, data, hyper = setup(lv)
+            run_chunk, carry, data, hyper = setup(r_on, lv)
             carry, ys = run_chunk(carry, jnp.arange(0, chunk, dtype=jnp.int32),
                                   data, hyper)
             jax.block_until_ready(ys["loss"])
             break
         except Exception as e:  # noqa: BLE001 — OOM-driven retry
-            if "memory" not in str(e).lower() or lv == 0:
+            if "memory" not in str(e).lower() or (r_on and lv == 0):
                 raise
-            print(f"remat_levels={lv} overflowed HBM, retrying deeper",
+            print(f"remat=({r_on},{lv}) overflowed HBM, retrying deeper",
                   file=sys.stderr, flush=True)
 
     # timed steady-state chunks

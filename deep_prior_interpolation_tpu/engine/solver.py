@@ -686,9 +686,12 @@ class DIPSolver:
         noise_np = extract_noise_canvas(s, carry, data, base_input, spatial)
         pocs_np = None
         if s.pocs:
-            proj = fk_projection(jnp.asarray(out_best)[None],
-                                 data["pocs_wdata"], data["pocs_wmask"],
-                                 hyper["pocs_thresh"])
+            # jitted: the axon TPU relay cannot execute complex FFT ops
+            # EAGERLY (UNIMPLEMENTED); compiled they lower fine
+            proj = jax.jit(fk_projection)(jnp.asarray(out_best)[None],
+                                          data["pocs_wdata"],
+                                          data["pocs_wmask"],
+                                          hyper["pocs_thresh"])
             pocs_np = np.asarray(jax.device_get(proj)[0], np.float32)
         return SolveResult(out_best=out_best, history=hist,
                            params=carry["params"]["net"], elapsed=elapsed,

@@ -192,9 +192,12 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
                                        data_b.get("base_input"), spatial)
         pocs_b = None
         if s.pocs:
-            proj = fk_projection(jnp.asarray(out_best[b]),
-                                 data_b["pocs_wdata"], data_b["pocs_wmask"],
-                                 hyper["pocs_thresh"])
+            # jitted: the axon TPU relay cannot execute complex FFT ops
+            # EAGERLY (UNIMPLEMENTED); compiled they lower fine
+            proj = jax.jit(fk_projection)(jnp.asarray(out_best[b]),
+                                          data_b["pocs_wdata"],
+                                          data_b["pocs_wmask"],
+                                          hyper["pocs_thresh"])
             pocs_b = np.asarray(jax.device_get(proj)[0], np.float32)
         results.append(SolveResult(
             out_best=out_best[b, 0], history=hists[b], params=params_b,

@@ -32,9 +32,9 @@ cfg = dpi.Config(
     imgdir=".", outdir="poc_3d", datadim="3d", gain=40.0, epochs=EPOCHS,
     loss="mae", lr=1e-3, inputdepth=64, upsample="linear",
     reg_noise_std=0.03, noise_std=0.1, savemodel=True,
-    dtype="bfloat16", remat=True, remat_levels=1,  # bench r3 defaults:
-    phase_space=True, phase_levels=3,   # exact small-channel MXU fast path,
-    scan_chunk=25)                      # 525.8 s/1000 iters on v5e-1
+    dtype="bfloat16", remat=False,      # bench r3 defaults: phase-space +
+    phase_space=True, phase_levels=3,   # bf16 fit the backward in HBM,
+    scan_chunk=25)                      # 500.9 s/1000 iters on v5e-1
 
 outpath = run(cfg, results_root="./results", original=vol, corrupted=mask)
 outputs, summary = show_results(outpath, curves=1, savefig=True, original=vol)

@@ -4,7 +4,7 @@
 Runs the poc_3D workload — (256,128,128,1) synthetic hyperbolic events, 66%
 trace decimation, gain 40, MulResUnet3D, inputdepth 64, trilinear, L1, Adam
 1e-3 (proof_of_concept_3D.ipynb cell 4) — through the bench-default fast
-path (bfloat16, phase_space levels 3, remat_levels=1, materialised input)
+path (bfloat16, phase_space levels 3, no remat, materialised input)
 and records endpoint SNR/pcorr/wall-clock.
 
 Usage: python scripts/quality_3d.py [--iters 2000] [--out quality_3d.json]
@@ -45,7 +45,7 @@ def main() -> None:
     cfg = dpi.Config(datadim="3d", epochs=args.iters, loss="mae", lr=1e-3,
                      inputdepth=64, upsample="linear", gain=40.0,
                      reg_noise_std=0.03, noise_std=0.1, scan_chunk=25,
-                     dtype="bfloat16", remat=True, remat_levels=1,
+                     dtype="bfloat16", remat=False,
                      phase_space=True, phase_levels=3, virtual_input=False)
     solver = dpi.DIPSolver(cfg, outchannel=1)
     t0 = time.time()
@@ -68,7 +68,7 @@ def main() -> None:
             "iters": int(res.iters_run),
             "elapsed_s": round(elapsed, 1),
             "hardware": f"TPU ({jax.default_backend()}), 1 chip",
-            "config": "bfloat16, phase_space levels 3, remat_levels=1, "
+            "config": "bfloat16, phase_space levels 3, no remat, "
                       "materialised input (bench r3 defaults)",
         },
         "reference_notebook": {
