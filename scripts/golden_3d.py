@@ -263,6 +263,21 @@ def main() -> None:
         mr, sr = (results["reference"]["best_snr"]["mean"],
                   results["reference"]["best_snr"]["std"])
         results["best_snr_gap_db"] = mo - mr
+        # Seeds are PAIRED problems (make_problem(s) gives both sides the
+        # same data + mask realisation), so also report the per-seed paired
+        # differences — far tighter than the cross-seed sigmas, which are
+        # dominated by problem difficulty, not implementation.
+        vo = results["ours"]["best_snr"]["values"]
+        vr = results["reference"]["best_snr"]["values"]
+        if len(vo) == len(vr):
+            diffs = [a - b for a, b in zip(vo, vr)]
+            n = len(diffs)
+            dm = sum(diffs) / n
+            dsd = (sum((d - dm) ** 2 for d in diffs) / max(n - 1, 1)) ** 0.5
+            results["paired"] = {"diffs_db": diffs, "mean_db": dm,
+                                 "std_db": dsd,
+                                 "sem_db": dsd / n ** 0.5}
+            print(f"paired gap: {dm:+.2f} +- {dsd / n ** 0.5:.2f} dB (sem)")
         # Acceptance: means within 0.5 dB, OR overlapping 1-sigma intervals
         # with n >= 5 seeds. (The round-2 |gap| <= sigma_o + sigma_r clause
         # was vacuous at n=2 — it accepted multi-dB regressions.)
