@@ -179,9 +179,8 @@ class Conv(nn.Module):
             padding = [(0, 0)] * self.ndim
         else:
             padding = [(p, p)] * self.ndim
-        y = jax.lax.conv_general_dilated(
-            xx, w, (self.stride,) * self.ndim, padding,
-            dimension_numbers=ps.conv_dimension_numbers(self.ndim))
+        from ..ops.conv_vjp import conv_same
+        y = conv_same(xx, w, self.stride, tuple(padding))
         if bias is not None:
             y = y + bias.astype(dt)
         return y

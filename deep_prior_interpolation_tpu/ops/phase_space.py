@@ -217,35 +217,29 @@ def entry_kernel(w: jnp.ndarray) -> jnp.ndarray:
 
 def phase_entry_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Same-pad stride-1 conv, plain input -> phase output (half-res grid)."""
+    from .conv_vjp import conv_same
     d = w.ndim - 2
     p = (w.shape[0] - 1) // 2
     if p:
         x = jnp.pad(x, [(0, 0)] + [(p, p)] * d + [(0, 0)])
-    return jax.lax.conv_general_dilated(
-        x, entry_kernel(w), (2,) * d, "VALID",
-        dimension_numbers=conv_dimension_numbers(d),
-        preferred_element_type=x.dtype)
+    return conv_same(x, entry_kernel(w), 2, ((0, 0),) * d)
 
 
 def phase_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Same-pad stride-1 conv, phase input -> phase output (no phase_pad:
     plain conv with the swap-folded kernel, native layout throughout)."""
+    from .conv_vjp import conv_same
     d = w.ndim - 2
-    return jax.lax.conv_general_dilated(
-        x, phase_kernel(w, 1), (1,) * d,
-        [phase_paddings(w.shape[0], 1)] * d,
-        dimension_numbers=conv_dimension_numbers(d),
-        preferred_element_type=x.dtype)
+    return conv_same(x, phase_kernel(w, 1), 1,
+                     (phase_paddings(w.shape[0], 1),) * d)
 
 
 def phase_exit_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Same-pad STRIDE-2 conv, phase input -> plain output at half res."""
+    from .conv_vjp import conv_same
     d = w.ndim - 2
-    return jax.lax.conv_general_dilated(
-        x, phase_kernel(w, 2), (1,) * d,
-        [phase_paddings(w.shape[0], 2)] * d,
-        dimension_numbers=conv_dimension_numbers(d),
-        preferred_element_type=x.dtype)
+    return conv_same(x, phase_kernel(w, 2), 1,
+                     (phase_paddings(w.shape[0], 2),) * d)
 
 
 # ----------------------------------------------------------------------

@@ -109,24 +109,30 @@ def main() -> None:
             return jax.lax.fori_loop(0, n, lambda i, y: fn(y, wb), x0)
         return jax.jit(run)
 
+    # Timing validity: through the axon relay, a dispatch costs ~ms, so the
+    # measured window must be SECONDS of device work or the numbers read
+    # above chip peak (as round-3's first attempt did at 30 iters). Calibrate
+    # the loop length per candidate until one dispatch runs >= 1 s, then
+    # difference a 2x window against it to cancel the fixed relay cost.
     results = {}
     for name, fn in candidates.items():
         loop = chained(fn)
-        y = loop(x, w, 2)  # compile
-        jax.block_until_ready(y)
+        jax.block_until_ready(loop(x, w, 2))  # compile
+        n = max(args.iters, 64)
+        while True:
+            t0 = time.time()
+            jax.block_until_ready(loop(x, w, n))
+            dt = time.time() - t0
+            if dt >= 1.0 or n >= 1_000_000:
+                break
+            n = min(1_000_000, int(n * max(2.0, 1.5 / max(dt, 1e-3))))
         t0 = time.time()
-        y = loop(x, w, args.iters)
-        jax.block_until_ready(y)
+        jax.block_until_ready(loop(x, w, 2 * n))
         t1 = time.time()
-        # subtract the fixed dispatch cost with a second, shorter loop
-        y2 = loop(x, w, max(1, args.iters // 4))
-        jax.block_until_ready(y2)
-        t2 = time.time()
-        n_diff = args.iters - max(1, args.iters // 4)
-        dt_s = ((t1 - t0) - (t2 - t1)) / n_diff
+        dt_s = ((t1 - t0) - dt) / n  # 2n-window minus n-window = n iters
         results[name] = dt_s
         print(f"{name:14s} {dt_s * 1e3:8.3f} ms/apply  "
-              f"{flops / dt_s / 1e12:6.2f} TF/s")
+              f"{flops / dt_s / 1e12:6.2f} TF/s  (n={n})")
 
     # numeric agreement — reduce ON DEVICE (fetching full volumes over the
     # axon relay tunnel takes tens of minutes for GB-scale arrays)

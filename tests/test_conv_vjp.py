@@ -1,0 +1,119 @@
+"""conv_same packed weight-gradient: exactness vs jax.grad of the raw conv.
+
+The packed wgrad (ops/conv_vjp.py) replaces XLA's backward-filter conv with
+a tap-packed dot_general; these tests pin its forward and both gradients
+against the untouched ``lax.conv_general_dilated`` autodiff for every case
+the model zoo uses (2D/3D, symmetric + asymmetric padding, stride 2, multi
+tap-group splits, vmap).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from deep_prior_interpolation_tpu.ops import conv_vjp
+from deep_prior_interpolation_tpu.ops.conv_vjp import conv_same
+
+
+def _baseline(x, w, stride, pads):
+    d = w.ndim - 2
+    return lax.conv_general_dilated(
+        x, w, (stride,) * d, list(pads),
+        dimension_numbers=conv_vjp._dn(d), preferred_element_type=x.dtype)
+
+
+def _case(sp, k, ci, co, stride, pads, seed=0):
+    d = len(sp)
+    kx, kw, kc = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x = jax.random.normal(kx, (2,) + sp + (ci,), jnp.float32)
+    w = jax.random.normal(kw, (k,) * d + (ci, co), jnp.float32) * 0.1
+    y0 = _baseline(x, w, stride, pads)
+    cot = jax.random.normal(kc, y0.shape, jnp.float32)
+
+    def loss(f):
+        return lambda xx, ww: jnp.sum(f(xx, ww) * cot)
+
+    y1 = conv_same(x, w, stride, pads)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    g0 = jax.grad(loss(lambda a, b: _baseline(a, b, stride, pads)),
+                  (0, 1))(x, w)
+    g1 = jax.grad(loss(lambda a, b: conv_same(a, b, stride, pads)),
+                  (0, 1))(x, w)
+    for a, b, nm in zip(g1, g0, ("dx", "dw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-4, err_msg=nm)
+
+
+@pytest.mark.parametrize("case", [
+    ((12, 10), 3, 6, 5, 1, ((1, 1), (1, 1))),
+    ((9, 8, 7), 3, 4, 3, 1, ((1, 1), (1, 1), (1, 1))),
+    ((12, 10), 3, 6, 5, 1, ((0, 2), (2, 0))),       # asymmetric pads
+    ((10, 9), 5, 3, 4, 1, ((2, 2), (2, 2))),        # k=5
+    ((12, 12), 4, 5, 6, 2, ((0, 0), (0, 0))),       # stride-2 entry form
+    ((8, 8, 8), 4, 3, 2, 2, ((0, 0), (0, 0), (0, 0))),
+    ((11, 9), 3, 6, 5, 2, ((1, 1), (1, 1))),        # strided same-pad
+])
+def test_grad_matches_xla(case):
+    _case(*case)
+
+
+def test_multigroup_split(monkeypatch):
+    # cap -> ~3 taps per group (per_tap = 2*14*14*5*4 B ~ 7.8 kB) but keep
+    # the <=4-group gate satisfied? 9 taps / 3 = 3 groups: packed path runs.
+    monkeypatch.setenv("DPI_WGRAD_CAP_MB", "0")  # floor: g >= 1, 9 groups
+    # with 9 groups the gate falls back; call _packed_wgrad directly to pin
+    # the multi-group math
+    kx, kw, kc = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(kx, (2, 12, 12, 5), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, 5, 4), jnp.float32) * 0.1
+    pads = ((1, 1), (1, 1))
+    y0 = _baseline(x, w, 1, pads)
+    cot = jax.random.normal(kc, y0.shape, jnp.float32)
+    g0 = jax.grad(lambda ww: jnp.sum(_baseline(x, ww, 1, pads) * cot))(w)
+    dw = conv_vjp._packed_wgrad(x, cot, w.shape, 1, pads)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(g0),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_gate_fallback_is_exact(monkeypatch):
+    monkeypatch.setenv("DPI_PACKED_WGRAD", "0")
+    _case((10, 8), 3, 4, 3, 1, ((1, 1), (1, 1)))
+
+
+def test_vmap_through_custom_vjp():
+    kx, kw, kc = jax.random.split(jax.random.PRNGKey(5), 3)
+    B = 3
+    x = jax.random.normal(kx, (B, 1, 10, 9, 4), jnp.float32)
+    w = jax.random.normal(kw, (B, 3, 3, 4, 5), jnp.float32) * 0.1
+    pads = ((1, 1), (1, 1))
+    cot = jax.random.normal(kc, (B, 1, 10, 9, 5), jnp.float32)
+
+    def per(f, xx, ww, ct):
+        return jnp.sum(f(xx, ww, 1, pads) * ct)
+
+    g0 = jax.vmap(jax.grad(lambda a, b, c: per(_baseline, a, b, c),
+                           (0, 1)))(x, w, cot)
+    g1 = jax.vmap(jax.grad(lambda a, b, c: per(conv_same, a, b, c),
+                           (0, 1)))(x, w, cot)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_bf16_packed_close_to_f32():
+    kx, kw, kc = jax.random.split(jax.random.PRNGKey(7), 3)
+    x32 = jax.random.normal(kx, (1, 16, 16, 8), jnp.float32)
+    w32 = jax.random.normal(kw, (3, 3, 8, 8), jnp.float32) * 0.1
+    pads = ((1, 1), (1, 1))
+    cot32 = jax.random.normal(kc, (1, 16, 16, 8), jnp.float32)
+    g32 = jax.grad(lambda ww: jnp.sum(
+        conv_same(x32, ww, 1, pads) * cot32))(w32)
+    g16 = jax.grad(lambda ww: jnp.sum(
+        conv_same(x32.astype(jnp.bfloat16), ww, 1, pads)
+        * cot32.astype(jnp.bfloat16)))(w32.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g32),
+                               rtol=0.1, atol=0.5)
