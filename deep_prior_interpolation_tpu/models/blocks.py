@@ -59,9 +59,9 @@ class Norm(nn.Module):
 
     Equivalent to torch BatchNorm{2,3}d as the reference uses it (training
     mode, batch 1, running stats never consumed). eps matches torch (1e-5).
-    Statistics are always computed in float32 (bf16 sums across millions of
-    voxels lose too much precision); the result is cast back to the input
-    dtype.
+    Statistics always accumulate in float32 on the MXU (bf16 sums across
+    millions of voxels lose too much precision); the affine applies in the
+    input dtype.
 
     ``phase > 1`` operates on phase-blocked tensors (ops.phase_space): each
     true channel occupies ``phase`` consecutive lanes (channel-major layout),
@@ -75,18 +75,22 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1] // self.phase
-        xf = x.astype(jnp.float32)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         # One-pass statistics: sum and sum-of-squares reduce in a SINGLE
-        # multi-output fusion (one HBM read of x), then var = E[x^2]-E[x]^2.
-        # The two-pass jnp.var form read x twice; on the flagship 3D step the
-        # norm-statistics reductions were ~15% of step time (ROUND2 profile).
-        # In phase mode the per-lane sums are folded across each channel's
-        # ``phase`` lanes AFTER the spatial reduction, and the affine is
-        # applied with lane-repeated vectors — the tensor itself never leaves
-        # its native (…, C*B) lane tiling (the old reshape to (…, C, B) split
-        # the minor-most dim, which Mosaic materialises as relayout copies).
+        # multi-output fusion (one HBM read of x, f32 accumulation), then
+        # var = E[x^2]-E[x]^2. (A dot_general formulation of the stats was
+        # tried in r3 and measured SLOWER end-to-end — 528.5 vs 505.8
+        # s/1000 — XLA canonicalises the M=1 dot back into a reduce while
+        # the reshape boundary breaks the conv-epilogue fusion.)
+        # The affine applies in the input dtype: the old f32 affine
+        # materialised f32 copies of every activation (and f32 residuals
+        # for the backward), visible as f32 relayout copies in the r3
+        # profile. In phase mode the per-lane sums are folded across each
+        # channel's ``phase`` lanes AFTER the reduction, and the affine
+        # uses lane-repeated vectors — the tensor never leaves its
+        # (…, C*B) lane tiling.
+        xf = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
         s1 = jnp.sum(xf, axis=axes)
         s2 = jnp.sum(xf * xf, axis=axes)
@@ -101,7 +105,7 @@ class Norm(nn.Module):
         if self.phase > 1:
             g = jnp.repeat(g, self.phase)
             b = jnp.repeat(b, self.phase)
-        return (xf * g + b).astype(x.dtype)
+        return x * g.astype(x.dtype) + b.astype(x.dtype)
 
 
 # ----------------------------------------------------------------------

@@ -109,8 +109,12 @@ def _packed_wgrad(x, dy, wshape, stride, pads):
             for ax in range(d):
                 spec.append((t[ax], U[ax] - S[ax] - t[ax], 0))
             spec.append((0, 0, 0))
-            parts.append(lax.pad(dy, jnp.zeros((), dy.dtype), spec))
-        dyp = jnp.stack(parts, axis=-2).reshape(nu, len(grp) * co)
+            # flat (nu, co) blocks concatenated on the LANE axis: the 5-D
+            # stack+reshape form materialised at a mismatched layout and was
+            # re-copied wholesale (r3 profile: ~50 ms/step of canvas copies)
+            parts.append(lax.pad(dy, jnp.zeros((), dy.dtype),
+                                 spec).reshape(nu, co))
+        dyp = jnp.concatenate(parts, axis=-1)
         o = lax.dot_general(xf, dyp, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         outs.append(o.reshape(ci, len(grp), co))
@@ -155,11 +159,24 @@ def _use_packed(x, w, stride, pads) -> bool:
     """Packed wgrad wins when the DYP canvas fits in few dot groups; with
     many groups the repeated reads of the (folded) input exceed what the
     conv emitter moves, so those shapes stay on the XLA path."""
-    if os.environ.get("DPI_PACKED_WGRAD", "1") != "1":
+    # Default OFF: measured end-to-end on the flagship (r3), the packed
+    # path was a net REGRESSION — 710.4 s/1000 (5-D canvas + entry fold),
+    # 610.6 s (2-D concat canvas, fold gated off) vs 505.8 s for XLA's
+    # emitters — because XLA materialises the DYP canvases in transposed
+    # layouts (~23 ms/step for one conv's canvases) and the gate-failed
+    # big-C_out wgrads stay on the emitter anyway. The formulation stays
+    # in-tree, exactness-tested, behind DPI_PACKED_WGRAD=1 (the per-op win
+    # it targets is real: the 536->32 wgrad emitter runs at ~7% MXU).
+    if os.environ.get("DPI_PACKED_WGRAD", "0") != "1":
         return False
     d = w.ndim - 2
     k = w.shape[0]
     U = tuple(x.shape[1 + i] + sum(pads[i]) for i in range(d))
+    if stride > 1 and os.environ.get("DPI_FOLD_WGRAD", "0") != "1":
+        # the fold's s^d-way space-to-depth transpose materialises as slow
+        # strided copies on TPU (measured ~90 ms/step on the full-res entry
+        # conv — worse than XLA's 19 ms emitter); off until it earns its keep
+        return False
     if stride == 1:
         taps = int(np.prod(w.shape[:d]))
         nu = x.shape[0] * int(np.prod(U))

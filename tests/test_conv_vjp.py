@@ -57,7 +57,8 @@ def _case(sp, k, ci, co, stride, pads, seed=0):
     ((8, 8, 8), 4, 3, 2, 2, ((0, 0), (0, 0), (0, 0))),
     ((11, 9), 3, 6, 5, 2, ((1, 1), (1, 1))),        # strided same-pad
 ])
-def test_grad_matches_xla(case):
+def test_grad_matches_xla(case, monkeypatch):
+    monkeypatch.setenv("DPI_PACKED_WGRAD", "1")
     _case(*case)
 
 
@@ -84,7 +85,21 @@ def test_gate_fallback_is_exact(monkeypatch):
     _case((10, 8), 3, 4, 3, 1, ((1, 1), (1, 1)))
 
 
-def test_vmap_through_custom_vjp():
+@pytest.mark.parametrize("case", [
+    ((12, 12), 4, 5, 6, 2, ((0, 0), (0, 0))),
+    ((8, 8, 8), 4, 3, 2, 2, ((0, 0), (0, 0), (0, 0))),
+    ((11, 9), 3, 6, 5, 2, ((1, 1), (1, 1))),
+])
+def test_folded_wgrad_exact(case, monkeypatch):
+    # stride > 1 defaults to the XLA fallback; the fold formulation stays
+    # covered behind its opt-in flag
+    monkeypatch.setenv("DPI_PACKED_WGRAD", "1")
+    monkeypatch.setenv("DPI_FOLD_WGRAD", "1")
+    _case(*case)
+
+
+def test_vmap_through_custom_vjp(monkeypatch):
+    monkeypatch.setenv("DPI_PACKED_WGRAD", "1")
     kx, kw, kc = jax.random.split(jax.random.PRNGKey(5), 3)
     B = 3
     x = jax.random.normal(kx, (B, 1, 10, 9, 4), jnp.float32)
@@ -104,7 +119,8 @@ def test_vmap_through_custom_vjp():
                                    rtol=2e-5, atol=2e-4)
 
 
-def test_bf16_packed_close_to_f32():
+def test_bf16_packed_close_to_f32(monkeypatch):
+    monkeypatch.setenv("DPI_PACKED_WGRAD", "1")
     kx, kw, kc = jax.random.split(jax.random.PRNGKey(7), 3)
     x32 = jax.random.normal(kx, (1, 16, 16, 8), jnp.float32)
     w32 = jax.random.normal(kw, (3, 3, 8, 8), jnp.float32) * 0.1
