@@ -61,9 +61,15 @@ def _dn(d: int) -> Tuple[str, str, str]:
 
 def _fwd_conv(x, w, stride, pads):
     d = w.ndim - 2
+    # float32 means float32: TPU XLA's default matmul precision executes
+    # f32 convs with bf16 passes, which measurably stalls DIP convergence
+    # on hard problems vs the true-f32 torch reference (golden_3d_600
+    # hard-seed study). bf16 nets are unaffected (that trade is explicit).
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
     return lax.conv_general_dilated(
         x, w, (stride,) * d, list(pads),
-        dimension_numbers=_dn(d), preferred_element_type=x.dtype)
+        dimension_numbers=_dn(d), preferred_element_type=x.dtype,
+        precision=prec)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

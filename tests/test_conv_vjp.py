@@ -133,3 +133,19 @@ def test_bf16_packed_close_to_f32(monkeypatch):
         * cot32.astype(jnp.bfloat16)))(w32.astype(jnp.bfloat16))
     np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g32),
                                rtol=0.1, atol=0.5)
+
+
+def test_f32_convs_request_highest_precision():
+    # float32 must mean float32 on TPU: the default matmul precision would
+    # run f32 convs with bf16 passes, which stalls DIP convergence on hard
+    # problems vs the true-f32 torch reference (golden_3d_600 study)
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    w = jnp.zeros((3, 3, 4, 5), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda a, b: conv_same(a, b, 1, ((1, 1), (1, 1))))(x, w))
+    assert "HIGHEST" in jaxpr
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    jaxpr16 = str(jax.make_jaxpr(
+        lambda a, b: conv_same(a, b, 1, ((1, 1), (1, 1))))(xb, wb))
+    assert "HIGHEST" not in jaxpr16
