@@ -83,6 +83,7 @@ def main() -> None:
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     phase = os.environ.get("BENCH_PHASE", "1") == "1"
     phase_levels = int(os.environ.get("BENCH_PHASE_LEVELS", "3"))
+    phase_deep = int(os.environ.get("BENCH_PHASE_DEEP", "0"))
     import jax.numpy as jnp
 
     def setup(remat_on, remat_lv):
@@ -92,7 +93,8 @@ def main() -> None:
                      reg_noise_std=0.03, scan_chunk=chunk, dtype=dtype,
                      remat=remat_on, remat_levels=remat_lv,
                      virtual_input=virtual, fused_loss=fused,
-                     phase_space=phase, phase_levels=phase_levels)
+                     phase_space=phase, phase_levels=phase_levels,
+                     phase_deep_levels=phase_deep)
         solver = DIPSolver(cfg, outchannel=1)
         spatial = tuple(img.shape[:-1])
         key = jax.random.PRNGKey(0)

@@ -112,6 +112,7 @@ class Config:
     # MulResUnet — exact math, ~8x MXU lane utilisation (ops/phase_space.py)
     phase_space: bool = False
     phase_levels: int = 3  # resolutions 0..N-1 phase-resident; 0 -> none, -1 -> all
+    phase_deep_levels: int = 0  # first N phased resolutions at DEPTH 2 (x4^ndim lanes)
     batch_patches: int = 0  # 0 -> sequential; N -> vmap N same-shaped patches
     mesh_shape: int = 0  # 0 -> no mesh; N -> 1-D patch mesh over N devices
 
@@ -234,6 +235,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--phase_levels", type=int, default=3,
                    help="how many of the largest resolutions run phase-blocked"
                         " (0 disables phasing, -1 phases all levels)")
+    p.add_argument("--phase_deep_levels", type=int, default=0,
+                   help="first N phased resolutions run at phase depth 2 "
+                        "(channels x 4^ndim at 1/4 resolution)")
     p.add_argument("--batch_patches", type=int, default=0)
     p.add_argument("--mesh_shape", type=int, default=0)
     return p

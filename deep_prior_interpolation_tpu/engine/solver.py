@@ -346,6 +346,10 @@ def pad_multiple_for(cfg: Config) -> int:
         levels = (len(cfg.filters) if cfg.phase_levels < 0
                   else cfg.phase_levels)
         mult = max(mult, 2 ** min(levels, len(cfg.filters)))
+        if cfg.phase_deep_levels > 0:
+            # depth-2 level r needs divisibility by 2^(r+2)
+            deep = min(cfg.phase_deep_levels, levels, len(cfg.filters))
+            mult = max(mult, 2 ** (deep + 1))
     return mult
 
 

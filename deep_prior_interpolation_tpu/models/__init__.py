@@ -50,7 +50,8 @@ def get_net(cfg: Config, outchannel: int = 1):
                           remat_levels=cfg.remat_levels or None,
                           phase_space=cfg.phase_space and cfg.phase_levels != 0,
                           phase_levels=(None if cfg.phase_levels < 0
-                                        else cfg.phase_levels), **common)
+                                        else cfg.phase_levels),
+                          phase_deep_levels=cfg.phase_deep_levels, **common)
     if name == "skip":
         from .skip import SkipNet
         return SkipNet(filters=tuple(cfg.filters), skip=tuple(cfg.skip), **common)

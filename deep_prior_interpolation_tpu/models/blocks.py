@@ -143,13 +143,14 @@ class Conv(nn.Module):
     dtype: Optional[jnp.dtype] = None
     phase_in: bool = False
     phase_out: bool = False
+    phase_depth: int = 1  # phase blocking depth: channels x (2^ndim)^depth
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops import phase_space as ps
 
         k, p = self.kernel_size, _same_pad(self.kernel_size)
-        b = 2 ** self.ndim
+        b = 2 ** (self.ndim * self.phase_depth)
         cin = x.shape[-1] // (b if self.phase_in else 1)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k,) * self.ndim + (cin, self.features),
@@ -165,13 +166,13 @@ class Conv(nn.Module):
             assert self.pad == "zero", "phase conv supports zero padding only"
             if not self.phase_in:
                 assert self.stride == 1
-                y = ps.phase_entry_conv(xx, w)
+                y = ps.phase_entry_conv(xx, w, self.phase_depth)
             elif self.phase_out:
                 assert self.stride == 1
-                y = ps.phase_conv(xx, w)
+                y = ps.phase_conv(xx, w, self.phase_depth)
             else:
                 assert self.stride == 2, "phase->plain is the stride-2 exit"
-                y = ps.phase_exit_conv(xx, w)
+                y = ps.phase_exit_conv(xx, w, self.phase_depth)
             if bias is not None:
                 bb = jnp.repeat(bias, b) if self.phase_out else bias
                 y = y + bb.astype(dt)
@@ -201,13 +202,16 @@ class ConvNormAct(nn.Module):
     dtype: Optional[jnp.dtype] = None
     phase_in: bool = False
     phase_out: bool = False
+    phase_depth: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Conv(self.features, self.kernel_size, self.stride, self.ndim,
                  self.use_bias, dtype=self.dtype, phase_in=self.phase_in,
-                 phase_out=self.phase_out)(x)
-        x = Norm(phase=2 ** self.ndim if self.phase_out else 1)(x)
+                 phase_out=self.phase_out,
+                 phase_depth=self.phase_depth)(x)
+        x = Norm(phase=2 ** (self.ndim * self.phase_depth)
+                 if self.phase_out else 1)(x)
         return get_activation(self.act)(x)
 
 

@@ -53,6 +53,7 @@ class MultiResBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     phase: bool = False
     phase_in: bool = False
+    phase_depth: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -60,10 +61,11 @@ class MultiResBlock(nn.Module):
         c1, c2, c3 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
         kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias,
                   dtype=self.dtype)
-        np_ = 2 ** self.ndim if self.phase else 1
-        pin = dict(phase_in=self.phase_in, phase_out=self.phase) \
-            if self.phase else {}
-        pmid = dict(phase_in=True, phase_out=True) if self.phase else {}
+        np_ = 2 ** (self.ndim * self.phase_depth) if self.phase else 1
+        pin = dict(phase_in=self.phase_in, phase_out=self.phase,
+                   phase_depth=self.phase_depth) if self.phase else {}
+        pmid = dict(phase_in=True, phase_out=True,
+                    phase_depth=self.phase_depth) if self.phase else {}
         out1 = ConvNormAct(c1, 3, **kw, **pin)(x)
         out2 = ConvNormAct(c2, 3, **kw, **pmid)(out1)
         out3 = ConvNormAct(c3, 3, **kw, **pmid)(out2)
@@ -94,13 +96,15 @@ class ResPath(nn.Module):
     length: int = 1
     dtype: Optional[jnp.dtype] = None
     phase: bool = False  # phase-resident execution (input must be phase)
+    phase_depth: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kw = dict(ndim=self.ndim, act=self.act, use_bias=self.use_bias,
                   dtype=self.dtype)
-        pp = dict(phase_in=True, phase_out=True) if self.phase else {}
-        np_ = 2 ** self.ndim if self.phase else 1
+        pp = dict(phase_in=True, phase_out=True,
+                  phase_depth=self.phase_depth) if self.phase else {}
+        np_ = 2 ** (self.ndim * self.phase_depth) if self.phase else 1
         for _ in range(self.length):
             a = ConvNormAct(self.f_out, 3, **kw, **pp)(x)
             b = ConvNormAct(self.f_out, 1, **kw, **pp)(x)
@@ -141,10 +145,17 @@ class MulResUnet(nn.Module):
     # resolutions 0..N-1 run phase-resident; None -> all.
     phase_space: bool = False
     phase_levels: Optional[int] = 3
+    # resolutions 0..phase_deep_levels-1 (of the phased ones) run at phase
+    # DEPTH 2 (channels x 4^ndim at 1/4 resolution) — the level-0 lane-
+    # starvation lever (r3 profile: C_out*8 in {32,64,104} lanes caps the
+    # forward/wgrad conv emitters at 25-81% of the MXU N dim). Exact same
+    # math (the swap-fold composes); boundaries pay one s2d/d2s relayout.
+    phase_deep_levels: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.phase_space import depth_to_space, upsample_into_phase
+        from ..ops.phase_space import (depth_to_space, space_to_depth,
+                                       upsample_into_phase)
 
         assert len(self.filters) == len(self.skip) + 1, \
             "filters must be one longer than skip (mulresunet.py:127)"
@@ -159,14 +170,20 @@ class MulResUnet(nn.Module):
             return self.phase_space and (self.phase_levels is None
                                          or res < self.phase_levels)
 
+        def pdepth(res: int) -> int:
+            """Phase blocking depth of resolution ``res`` (0 = plain)."""
+            if not phased(res):
+                return 0
+            return 2 if res < self.phase_deep_levels else 1
+
         if self.phase_space:
             for r in range(n):
                 if phased(r):
-                    assert all(dim % 2 ** (r + 1) == 0
+                    assert all(dim % 2 ** (r + pdepth(r)) == 0
                                for dim in x.shape[1:-1]), \
                         (f"phase level {r} needs spatial dims divisible by "
-                         f"{2 ** (r + 1)}, got {x.shape[1:-1]} — raise "
-                         f"pad_multiple or lower phase_levels")
+                         f"{2 ** (r + pdepth(r))}, got {x.shape[1:-1]} — "
+                         "raise pad_multiple or lower phase_levels")
 
         def blocks_for(level_idx: int):
             """Checkpointed blocks on the largest (most memory-hungry)
@@ -186,51 +203,62 @@ class MulResUnet(nn.Module):
             """Resolution i-1 in, resolution i-1 out; ``h`` (and the return
             value) are phase tensors iff ``phased(i-1)``."""
             ph = phased(i - 1)     # layout at this level's own resolution
+            dp = max(pdepth(i - 1), 1)
             enc_ph = phased(i)     # layout one resolution down
+            enc_dp = max(pdepth(i), 1)
             Block, Path = blocks_for(i)
-            b = 2 ** self.ndim
+            b = 2 ** (self.ndim * dp)
             # skip branch (mulresunet 2D :155-158 / 3D :230-233)
             s = None
             if self.skip[i - 1] != 0:
                 s = Path(self.skip[i - 1], self.ndim, act=self.act,
                          use_bias=self.use_bias, drop=self.dropout,
-                         norm_last=not is3d, dtype=self.dtype, phase=ph)(h)
+                         norm_last=not is3d, dtype=self.dtype, phase=ph,
+                         phase_depth=dp)(h)
             # stride-2 downsampling (2D :150-153 has no Norm; 3D :224-227
             # does); with a phase input this is the natural stride-2 exit
             cin = h.shape[-1] // (b if ph else 1)
             d = Conv(cin, 3, stride=2, ndim=self.ndim,
                      use_bias=self.use_bias, dtype=self.dtype,
-                     phase_in=ph)(h)
+                     phase_in=ph, phase_depth=dp)(h)
             if is3d:
                 d = Norm()(d)
             d = get_activation(self.act)(d)
             d = Dropout(self.dropout)(d)
-            d = Block(self.filters[i], **bkw, phase=enc_ph)(d)  # encoder
+            d = Block(self.filters[i], **bkw, phase=enc_ph,
+                      phase_depth=enc_dp)(d)  # encoder
             if i < n - 1:
                 d = level(i + 1, d)
             if enc_ph:
                 # phase res-i -> plain res-i (small: half-res array)
-                d = depth_to_space(d)
+                for _ in range(enc_dp):
+                    d = depth_to_space(d)
             if ph:
                 # x2 upsample landing directly in phase layout: the output's
                 # phase grid IS d's array grid — channel repeat / 2-tap
-                # stencil, no transposes
+                # stencil, no transposes; extra depth folds via s2d
                 d = upsample_into_phase(d, up_mode)
+                for _ in range(dp - 1):
+                    d = space_to_depth(d)
             else:
                 d = upsample(d, 2, self.upsample_mode)
             y = concat_crop([s, d]) if s is not None else d
             return Block(self.filters[i - 1], **bkw, phase=ph,
-                         phase_in=ph)(y)  # decoder block
+                         phase_in=ph, phase_depth=dp)(y)  # decoder block
 
         Block0, _ = blocks_for(0)
-        x = Block0(self.filters[0], **bkw, phase=phased(0))(x)
+        dp0 = max(pdepth(0), 1)
+        x = Block0(self.filters[0], **bkw, phase=phased(0),
+                   phase_depth=dp0)(x)
         x = level(1, x)
         # output head: 1x1 conv in 2D (:178), 3x3 in 3D (:252)
         x = Conv(self.out_channels, 1 if self.ndim == 2 else 3,
                  ndim=self.ndim, use_bias=self.use_bias, dtype=self.dtype,
-                 phase_in=phased(0), phase_out=phased(0))(x)
+                 phase_in=phased(0), phase_out=phased(0),
+                 phase_depth=dp0)(x)
         if phased(0):
-            x = depth_to_space(x)  # tiny: out_channels * 2^ndim lanes
+            for _ in range(dp0):
+                x = depth_to_space(x)  # tiny: out_channels lanes
         last = None if (isinstance(self.last_act, str)
                         and self.last_act.lower() == "none") else self.last_act
         if last is not None:

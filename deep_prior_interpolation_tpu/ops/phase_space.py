@@ -215,29 +215,53 @@ def entry_kernel(w: jnp.ndarray) -> jnp.ndarray:
 # conv entry points (x: (N, *spatial, C) plain or (N, *spatial/2, C*B) phase)
 # ----------------------------------------------------------------------
 
-def phase_entry_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Same-pad stride-1 conv, plain input -> phase output (half-res grid)."""
+def phase_entry_conv(x: jnp.ndarray, w: jnp.ndarray,
+                     depth: int = 1) -> jnp.ndarray:
+    """Same-pad stride-1 conv, plain input -> phase output (half-res grid).
+
+    ``depth > 1`` emits a deeper phase blocking (channels x ``2**(d*depth)``
+    at 1/2**depth resolution): the fused entry conv produces depth 1 and
+    the remaining levels fold via :func:`space_to_depth` (one relayout per
+    extra depth — only at the plain->phase boundary)."""
     from .conv_vjp import conv_same
     d = w.ndim - 2
     p = (w.shape[0] - 1) // 2
     if p:
         x = jnp.pad(x, [(0, 0)] + [(p, p)] * d + [(0, 0)])
-    return conv_same(x, entry_kernel(w), 2, ((0, 0),) * d)
+    y = conv_same(x, entry_kernel(w), 2, ((0, 0),) * d)
+    for _ in range(depth - 1):
+        y = space_to_depth(y)
+    return y
 
 
-def phase_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def phase_conv(x: jnp.ndarray, w: jnp.ndarray, depth: int = 1) -> jnp.ndarray:
     """Same-pad stride-1 conv, phase input -> phase output (no phase_pad:
-    plain conv with the swap-folded kernel, native layout throughout)."""
+    plain conv with the swap-folded kernel, native layout throughout).
+
+    ``depth > 1``: the fold composes — each application of
+    :func:`phase_kernel` maps a same-pad stride-1 conv to its half-grid
+    equivalent, so folding ``depth`` times runs the conv on a
+    ``depth``-blocked tensor (channels x ``2**(d*depth)`` both sides) with
+    zero data-movement ops."""
     from .conv_vjp import conv_same
     d = w.ndim - 2
-    return conv_same(x, phase_kernel(w, 1), 1,
-                     (phase_paddings(w.shape[0], 1),) * d)
+    wk, k = w, w.shape[0]
+    for _ in range(depth):
+        wk, k_prev = phase_kernel(wk, 1), k
+        k = 2 * (((k - 1) // 2 + 1) // 2) + 1
+    return conv_same(x, wk, 1, (phase_paddings(k_prev, 1),) * d)
 
 
-def phase_exit_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Same-pad STRIDE-2 conv, phase input -> plain output at half res."""
+def phase_exit_conv(x: jnp.ndarray, w: jnp.ndarray,
+                    depth: int = 1) -> jnp.ndarray:
+    """Same-pad STRIDE-2 conv, phase input -> plain output at half res.
+
+    ``depth > 1``: unfolds to depth 1 first (:func:`depth_to_space`, one
+    relayout per extra depth) then takes the fused stride-2 exit."""
     from .conv_vjp import conv_same
     d = w.ndim - 2
+    for _ in range(depth - 1):
+        x = depth_to_space(x)
     return conv_same(x, phase_kernel(w, 2), 1,
                      (phase_paddings(w.shape[0], 2),) * d)
 

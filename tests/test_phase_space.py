@@ -126,9 +126,10 @@ def test_concat_commutes_with_phase(rng):
     np.testing.assert_array_equal(np.asarray(lhs), np.asarray(rhs))
 
 
-@pytest.mark.parametrize("ndim,sp,phase_levels", [
-    (3, (16, 8, 8), 2), (3, (16, 16, 8), None), (2, (16, 8), 2)])
-def test_mulresunet_phase_space_exact(ndim, sp, phase_levels):
+@pytest.mark.parametrize("ndim,sp,phase_levels,deep", [
+    (3, (16, 8, 8), 2, 0), (3, (16, 16, 8), None, 0), (2, (16, 8), 2, 0),
+    (3, (16, 8, 8), 2, 1), (2, (16, 8), 2, 1), (3, (16, 16, 8), 2, 2)])
+def test_mulresunet_phase_space_exact(ndim, sp, phase_levels, deep):
     """MulResUnet(phase_space=True) is the SAME network (identical params)
     as the standard execution: outputs and parameter gradients match.
 
@@ -142,7 +143,8 @@ def test_mulresunet_phase_space_exact(ndim, sp, phase_levels):
     kw = dict(out_channels=1, ndim=ndim, filters=(4, 8, 16), skip=(4, 8),
               upsample_mode="trilinear" if ndim == 3 else "bilinear")
     m_std = MulResUnet(**kw)
-    m_ph = MulResUnet(**kw, phase_space=True, phase_levels=phase_levels)
+    m_ph = MulResUnet(**kw, phase_space=True, phase_levels=phase_levels,
+                      phase_deep_levels=deep)
 
     x = jnp.asarray(np.random.RandomState(1234 + ndim)
                     .randn(1, *sp, 6).astype(np.float32))
