@@ -65,7 +65,11 @@ def _fwd_conv(x, w, stride, pads):
     # f32 convs with bf16 passes, which measurably stalls DIP convergence
     # on hard problems vs the true-f32 torch reference (golden_3d_600
     # hard-seed study). bf16 nets are unaffected (that trade is explicit).
-    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    # DPI_F32_CONV_PRECISION=default restores the old behaviour for A/B
+    # measurements (scripts/golden_3d_dist.py precision study).
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+            and os.environ.get("DPI_F32_CONV_PRECISION", "highest")
+            != "default" else None)
     return lax.conv_general_dilated(
         x, w, (stride,) * d, list(pads),
         dimension_numbers=_dn(d), preferred_element_type=x.dtype,
