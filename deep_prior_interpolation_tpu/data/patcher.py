@@ -159,7 +159,8 @@ class PatchExtractor:
         self.stride = stride
 
         if rand is not None and function is not None:
-            raise ValueError("rand and function cannot be set at the same time")
+            raise ValueError("choose either random selection or a scoring "
+                             "function, not both")
         self.rand = bool(rand) if rand is not None else False
         if function is not None and not callable(function):
             raise ValueError("function must be a function handler")
@@ -255,7 +256,10 @@ class PatchExtractor:
         expected = tuple((np.array(patch_array.shape[:ndim]) - 1)
                          * np.array(self.stride) + np.array(self.dim))
         if tuple(image_shape) != expected:
-            raise ValueError("There is something wrong with the dimensions!")
+            raise ValueError(
+                f"patch grid {tuple(patch_array.shape[:ndim])} with dim "
+                f"{self.dim} / stride {self.stride} implies image shape "
+                f"{expected}, but extractor was built for {tuple(image_shape)}")
         n = count_patches(image_shape, self.dim, self.stride)
         patches = jnp.asarray(np.asarray(patch_array).reshape((n,) + self.dim))
         out = overlap_add(patches, image_shape, self.dim, self.stride,

@@ -54,6 +54,10 @@ from ..ops.noise import build_forgetting_data, data_forgetting_weights, get_nois
 from ..ops.pocs import fk_projection
 from .history import History, HistoryPOCS, HistoryReg
 
+# module-level so the final POCS projection compiles once per process,
+# not once per solve (remote compiles through the axon relay are slow)
+_fk_projection_jit = jax.jit(fk_projection)
+
 
 # ----------------------------------------------------------------------
 # static step settings (hashable; part of the jit cache key)
@@ -692,10 +696,10 @@ class DIPSolver:
         if s.pocs:
             # jitted: the axon TPU relay cannot execute complex FFT ops
             # EAGERLY (UNIMPLEMENTED); compiled they lower fine
-            proj = jax.jit(fk_projection)(jnp.asarray(out_best)[None],
-                                          data["pocs_wdata"],
-                                          data["pocs_wmask"],
-                                          hyper["pocs_thresh"])
+            proj = _fk_projection_jit(jnp.asarray(out_best)[None],
+                                      data["pocs_wdata"],
+                                      data["pocs_wmask"],
+                                      hyper["pocs_thresh"])
             pocs_np = np.asarray(jax.device_get(proj)[0], np.float32)
         return SolveResult(out_best=out_best, history=hist,
                            params=carry["params"]["net"], elapsed=elapsed,

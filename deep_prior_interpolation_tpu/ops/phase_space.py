@@ -246,6 +246,9 @@ def phase_conv(x: jnp.ndarray, w: jnp.ndarray, depth: int = 1) -> jnp.ndarray:
     from .conv_vjp import conv_same
     d = w.ndim - 2
     wk, k = w, w.shape[0]
+    if depth == 0:  # degenerate: plain same-pad conv on a plain tensor
+        p = (k - 1) // 2
+        return conv_same(x, w, 1, ((p, p),) * d)
     for _ in range(depth):
         wk, k_prev = phase_kernel(wk, 1), k
         k = 2 * (((k - 1) // 2 + 1) // 2) + 1

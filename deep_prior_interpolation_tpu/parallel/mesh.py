@@ -42,6 +42,10 @@ from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
                              pad_multiple_for, padded_spatial)
 from ..ops.pocs import fk_projection
 
+# module-level so the projection is traced/compiled once, not once per patch
+# (the axon relay's remote compiles can take minutes each)
+_fk_projection_jit = jax.jit(fk_projection)
+
 
 def make_mesh(n_devices: int = 0,
               devices: Optional[Sequence] = None) -> Mesh:
@@ -194,10 +198,10 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
         if s.pocs:
             # jitted: the axon TPU relay cannot execute complex FFT ops
             # EAGERLY (UNIMPLEMENTED); compiled they lower fine
-            proj = jax.jit(fk_projection)(jnp.asarray(out_best[b]),
-                                          data_b["pocs_wdata"],
-                                          data_b["pocs_wmask"],
-                                          hyper["pocs_thresh"])
+            proj = _fk_projection_jit(jnp.asarray(out_best[b]),
+                                      data_b["pocs_wdata"],
+                                      data_b["pocs_wmask"],
+                                      hyper["pocs_thresh"])
             pocs_b = np.asarray(jax.device_get(proj)[0], np.float32)
         results.append(SolveResult(
             out_best=out_best[b, 0], history=hists[b], params=params_b,

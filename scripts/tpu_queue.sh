@@ -1,38 +1,62 @@
 #!/bin/bash
-# Serialized TPU experiment queue for round 3 (run once the relay returns).
-# Waits for /tmp/tpu_up (created by the probe loop), then runs the pending
-# on-chip experiments ONE AT A TIME (the relay wedges if two clients race
-# or one is killed mid-compile — generous timeouts, no overlap).
+# Serialized TPU experiment queue (round 4).
+#
+# Operating rules (CLAUDE.md): ONE TPU client at a time; NEVER kill a client
+# mid-compile (a SIGTERM'd client wedges the relay grant and every later TPU
+# op hangs until the remote side times out). Hence:
+#   * an flock on /tmp/tpu_queue.lock makes concurrent queue invocations
+#     impossible (round-3 postmortem: three stale runners raced on relay
+#     return);
+#   * experiments run WITHOUT a hard timeout — the queue is already
+#     serialized, and cold compiles in new graph families have taken
+#     ~100 min. A watchdog line is logged every 10 min so a wedged client
+#     is visible, but killing is a human/agent decision made BETWEEN
+#     experiments, never in-flight.
 #
 # Experiments (priority order; each logs to /tmp/q_<name>.log):
-#   1. dist_tpu_highest  golden_3d_dist ours side on TPU with the r3
-#                        f32 Precision.HIGHEST fix (12 seeds, ~8 s each
-#                        after one compile) -> golden_3d_dist_tpu.json
-#   2. bench_deep1/2     BENCH_PHASE_DEEP={1,2} flagship timing (the r3
-#                        lane-starvation lever; relay died before timing)
-#   3. bench_default     fresh default-config number (regression check)
+#   1. bench_default     fresh default-config bench.py number (regression +
+#                        the driver-verified headline)
+#   2. bench_deep1/2     BENCH_PHASE_DEEP={1,2} flagship timing (r3's
+#                        lane-starvation lever, still untimed on-chip)
+#   3. dist_tpu_highest  golden_3d_dist ours side on TPU with f32
+#                        Precision.HIGHEST (12 seeds x 600 iters at 32^3)
 #   4. vmap_study        calibrated vmap-conv batching numbers on-chip
+#   5. f32_ab            f32 conv precision A/B (HIGHEST vs default) at 32^3
 set -u
 cd /root/repo
+
+exec 9>/tmp/tpu_queue.lock
+if ! flock -n 9; then
+  echo "another tpu_queue holds /tmp/tpu_queue.lock; exiting" >&2
+  exit 1
+fi
 
 echo "$(date -u +%H:%M:%S) queue started; waiting for /tmp/tpu_up" > /tmp/q_status.log
 while [ ! -f /tmp/tpu_up ]; do sleep 60; done
 echo "$(date -u +%H:%M:%S) TPU up; running queue" >> /tmp/q_status.log
 
-run() {  # run <name> <timeout_s> <cmd...>
-  local name=$1 to=$2; shift 2
+run() {  # run <name> <cmd...> — no timeout: see header
+  local name=$1; shift
   echo "$(date -u +%H:%M:%S) START $name" >> /tmp/q_status.log
-  timeout "$to" "$@" > "/tmp/q_$name.log" 2>&1
+  "$@" > "/tmp/q_$name.log" 2>&1 &
+  local pid=$!
+  local mins=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 600
+    mins=$((mins + 10))
+    echo "$(date -u +%H:%M:%S) WATCHDOG $name still running (${mins}m)" >> /tmp/q_status.log
+  done
+  wait "$pid"
   echo "$(date -u +%H:%M:%S) DONE $name rc=$?" >> /tmp/q_status.log
 }
 
-run dist_tpu_highest 7200 python scripts/golden_3d_dist.py \
+run bench_default python bench.py
+run bench_deep1 env BENCH_PHASE_DEEP=1 python bench.py
+run bench_deep2 env BENCH_PHASE_DEEP=2 python bench.py
+run dist_tpu_highest python scripts/golden_3d_dist.py \
     --side ours --platform default --label ours_tpu_highest \
     --problems 1,6,7 --nseeds 4 --iters 600 --out golden_3d_dist_tpu.json
-
-run bench_deep1 3600 env BENCH_PHASE_DEEP=1 python bench.py
-run bench_deep2 3600 env BENCH_PHASE_DEEP=2 python bench.py
-run bench_default 3600 python bench.py
-run vmap_study 3600 python scripts/bench_vmap_conv.py --platform default --batch 8
+run vmap_study python scripts/bench_vmap_conv.py --platform default --batch 8
+run f32_ab python scripts/bench_f32_precision.py
 
 echo "$(date -u +%H:%M:%S) QUEUE COMPLETE" >> /tmp/q_status.log
