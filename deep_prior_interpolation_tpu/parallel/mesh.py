@@ -16,11 +16,15 @@ TPU-native design is:
 Early stopping composes: each patch freezes through its ``done`` flag and the
 host breaks out of the chunk loop when every patch in the batch is done.
 
-Sizing guidance (measured on v5e): vmapping per-patch conv KERNELS produces
-grouped convolutions, which run ~3x slower per patch than a single-patch
-program on one chip — so set ``batch_patches == mesh_shape`` (one patch per
-device, local vmap width 1). Multi-patch-per-chip batching only pays when
-patches are small enough that a single patch underutilises the chip.
+Sizing guidance: default to ``batch_patches == mesh_shape`` (one patch per
+device, local vmap width 1). Vmapping per-patch conv KERNELS produces
+grouped convolutions; whether multi-patch-per-chip batching pays depends on
+how XLA's grouped-conv emitters compare to the single-patch program at the
+patch size in question — measure with ``scripts/bench_vmap_conv.py``
+(the r2 "~3x slower per patch" figure was from a miscalibrated harness and
+was withdrawn; see docs/PERF.md for the current numbers). Small patches
+that underutilise the chip are the case where batching is most likely to
+win.
 """
 from __future__ import annotations
 
