@@ -127,7 +127,11 @@ class StepSettings:
                    input_dtype=cfg.dtype,
                    fused_loss=(cfg.fused_loss
                                and cfg.loss in ("mae", "l1", "mse")),
-                   fused_interpret=jax.default_backend() != "tpu",
+                   # the axon relay registers platform name "axon", not
+                   # "tpu" — it IS a TPU (Mosaic lowers through its remote
+                   # compile); only true host backends need interpret mode
+                   fused_interpret=jax.default_backend()
+                   not in ("tpu", "axon"),
                    orig_spatial=tuple(orig_spatial))
 
 

@@ -201,8 +201,28 @@ def _use_packed(x, w, stride, pads) -> bool:
     return ngroups <= 4
 
 
+def _use_pallas(x, w, stride, pads) -> bool:
+    """Pallas wgrad (ops/pallas_wgrad.py): the contraction runs inside a
+    kernel where no conv-emitter layout contract applies. Shape-gated to
+    batch-1 stride-1 odd-cubic same-pad convs that fit VMEM un-chunked —
+    exactly the flagship res-0 phase convs the profile blames."""
+    if os.environ.get("DPI_PALLAS_WGRAD", "0") != "1":
+        return False
+    from .pallas_wgrad import wgrad_supported
+    return wgrad_supported(tuple(x.shape), tuple(w.shape), stride,
+                           tuple(pads), x.dtype.itemsize)
+
+
 def _conv_same_bwd(stride, pads, res, dy):
     x, w = res
+    if _use_pallas(x, w, stride, pads):
+        from .pallas_wgrad import pallas_wgrad_s1
+        _, pullback = jax.vjp(lambda xx: _fwd_conv(xx, w, stride, pads), x)
+        dx, = pullback(dy)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        dw = pallas_wgrad_s1(x, dy, w.shape[0],
+                             interpret=interpret).astype(w.dtype)
+        return dx, dw
     if not _use_packed(x, w, stride, pads):
         _, pullback = jax.vjp(
             lambda xx, ww: _fwd_conv(xx, ww, stride, pads), x, w)
