@@ -102,32 +102,41 @@ def main() -> None:
 
     # COMPILED serial loop: round-2's host-driven chain still measured above
     # chip peak through the axon relay (dispatch pipelining hides device
-    # time), so the chain now lives inside ONE jitted lax.fori_loop — a
-    # single dispatch whose wall-clock IS device time, amortised over iters.
+    # time), so the chain lives inside ONE jitted lax.fori_loop returning a
+    # SCALAR that the host fetches with float(...) — round 4 found that even
+    # block_until_ready through the relay returns before device completion,
+    # so only a value round-trip is a valid fence. The per-iter max-renorm
+    # keeps a million bf16 conv applications finite; its cost (one 19 MB
+    # reduce) is identical across candidates and ~1e-3 of the conv FLOPs.
     def chained(fn):
-        def run(x0, wb, n):
-            return jax.lax.fori_loop(0, n, lambda i, y: fn(y, wb), x0)
+        def body(i, y):
+            y = fn(y, w)
+            return (y / jnp.maximum(jnp.max(jnp.abs(y)).astype(y.dtype),
+                                    jnp.asarray(1e-3, y.dtype)))
+        def run(x0, n):
+            y = jax.lax.fori_loop(0, n, body, x0)
+            return jnp.sum(y).astype(jnp.float32)
         return jax.jit(run)
 
     # Timing validity: through the axon relay, a dispatch costs ~ms, so the
     # measured window must be SECONDS of device work or the numbers read
     # above chip peak (as round-3's first attempt did at 30 iters). Calibrate
-    # the loop length per candidate until one dispatch runs >= 1 s, then
+    # the loop length per candidate until one dispatch runs >= 2 s, then
     # difference a 2x window against it to cancel the fixed relay cost.
     results = {}
     for name, fn in candidates.items():
         loop = chained(fn)
-        jax.block_until_ready(loop(x, w, 2))  # compile
-        n = max(args.iters, 64)
+        assert np.isfinite(float(loop(x, 2)))  # compile + sanity
+        n = max(args.iters, 8)
         while True:
             t0 = time.time()
-            jax.block_until_ready(loop(x, w, n))
+            float(loop(x, n))  # scalar fetch = the only real fence
             dt = time.time() - t0
-            if dt >= 1.0 or n >= 1_000_000:
+            if dt >= 2.0 or n >= 100_000:
                 break
-            n = min(1_000_000, int(n * max(2.0, 1.5 / max(dt, 1e-3))))
+            n = min(100_000, int(n * max(2.0, 3.0 / max(dt, 1e-3))))
         t0 = time.time()
-        jax.block_until_ready(loop(x, w, 2 * n))
+        float(loop(x, 2 * n))
         t1 = time.time()
         dt_s = ((t1 - t0) - dt) / n  # 2n-window minus n-window = n iters
         results[name] = dt_s

@@ -50,7 +50,6 @@ run() {  # run <name> <cmd...> — no timeout: see header
   echo "$(date -u +%H:%M:%S) DONE $name rc=$?" >> /tmp/q_status.log
 }
 
-run bench_default python bench.py
 run bench_deep1 env BENCH_PHASE_DEEP=1 python bench.py
 run bench_deep2 env BENCH_PHASE_DEEP=2 python bench.py
 run dist_tpu_highest python scripts/golden_3d_dist.py \
