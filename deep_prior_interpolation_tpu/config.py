@@ -115,6 +115,11 @@ class Config:
     phase_deep_levels: int = 0  # first N phased resolutions at DEPTH 2 (x4^ndim lanes)
     batch_patches: int = 0  # 0 -> sequential; N -> vmap N same-shaped patches
     mesh_shape: int = 0  # 0 -> no mesh; N -> 1-D patch mesh over N devices
+    # conv formulation inside the batched patch solver: "grouped" keeps
+    # XLA's lowering of a vmapped conv; "tapmm" re-expresses each conv as
+    # per-tap batched matmuls (6.6x faster per patch on-chip at 64ch 2D
+    # patches — docs/PERF.md r4 vmap-conv study; ops/conv_vjp.conv_impl)
+    vmap_conv_mode: str = "grouped"
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -240,6 +245,11 @@ def build_parser() -> ArgumentParser:
                         "(channels x 4^ndim at 1/4 resolution)")
     p.add_argument("--batch_patches", type=int, default=0)
     p.add_argument("--mesh_shape", type=int, default=0)
+    p.add_argument("--vmap_conv_mode", type=str, default="grouped",
+                   choices=["grouped", "tapmm"],
+                   help="conv lowering in the batched patch solver: tapmm "
+                        "runs each kernel tap as a batched matmul (faster "
+                        "for multi-patch-per-chip batching)")
     return p
 
 

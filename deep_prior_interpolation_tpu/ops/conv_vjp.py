@@ -40,6 +40,7 @@ right backward-filter algorithm.
 """
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 from functools import partial
@@ -51,7 +52,60 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["conv_same"]
+__all__ = ["conv_same", "conv_impl"]
+
+# trace-time conv formulation, switched by :func:`conv_impl`
+_CONV_IMPL = "conv"
+
+
+@contextlib.contextmanager
+def conv_impl(mode: str):
+    """Select the conv formulation for traces opened inside the context.
+
+    "conv" (default): ``lax.conv_general_dilated`` — XLA's conv emitters.
+    "tapmm": sum of per-tap matmuls. Under ``vmap`` with per-patch weights
+    a conv lowers to a grouped convolution, which XLA:TPU runs far below
+    single-patch efficiency; the tap form instead vmaps every tap into one
+    BATCHED matmul (B, M, Ci) @ (B, Ci, Co) at full MXU rate — measured
+    6.6x faster per patch than the grouped lowering on the 2D lines-scale
+    patch (docs/PERF.md, r4 vmap-conv study). Used by
+    ``parallel.solve_patches_batched`` when ``cfg.vmap_conv_mode ==
+    "tapmm"``; single-patch programs should stay on "conv".
+
+    Trace-time only: wrap the calls that TRACE the jitted function (a
+    cached executable is unaffected). Each ``solve_patches_batched`` call
+    constructs its own ``jax.jit`` wrapper, so the mode cannot leak into
+    another program's cache.
+    """
+    global _CONV_IMPL
+    prev = _CONV_IMPL
+    _CONV_IMPL = mode
+    try:
+        yield
+    finally:
+        _CONV_IMPL = prev
+
+
+def _tap_conv(x, w, stride, pads, prec):
+    """The conv as a sum of k^d per-tap matmuls (same semantics as
+    :func:`_fwd_conv`: one stride for all spatial dims, explicit pads).
+    Contributions accumulate in f32 and round once at the end, matching
+    the conv path's single f32 accumulation."""
+    d = w.ndim - 2
+    ks = w.shape[:d]
+    xp = jnp.pad(x, [(0, 0)] + list(pads) + [(0, 0)])
+    out_sp = tuple((xp.shape[1 + i] - ks[i]) // stride + 1 for i in range(d))
+    acc = None
+    for t in itertools.product(*[range(k) for k in ks]):
+        lim = tuple(t[i] + (out_sp[i] - 1) * stride + 1 for i in range(d))
+        xs = lax.slice(xp, (0,) + t + (0,),
+                       (xp.shape[0],) + lim + (xp.shape[-1],),
+                       (1,) + (stride,) * d + (1,))
+        c = lax.dot_general(xs, w[t], (((xs.ndim - 1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32)
+        acc = c if acc is None else acc + c
+    return acc.astype(x.dtype)
 
 
 def _dn(d: int) -> Tuple[str, str, str]:
@@ -70,6 +124,8 @@ def _fwd_conv(x, w, stride, pads):
     prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
             and os.environ.get("DPI_F32_CONV_PRECISION", "highest")
             != "default" else None)
+    if _CONV_IMPL == "tapmm":
+        return _tap_conv(x, w, stride, pads, prec)
     return lax.conv_general_dilated(
         x, w, (stride,) * d, list(pads),
         dimension_numbers=_dn(d), preferred_element_type=x.dtype,

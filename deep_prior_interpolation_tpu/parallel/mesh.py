@@ -16,15 +16,16 @@ TPU-native design is:
 Early stopping composes: each patch freezes through its ``done`` flag and the
 host breaks out of the chunk loop when every patch in the batch is done.
 
-Sizing guidance: default to ``batch_patches == mesh_shape`` (one patch per
-device, local vmap width 1). Vmapping per-patch conv KERNELS produces
-grouped convolutions; whether multi-patch-per-chip batching pays depends on
-how XLA's grouped-conv emitters compare to the single-patch program at the
-patch size in question — measure with ``scripts/bench_vmap_conv.py``
-(the r2 "~3x slower per patch" figure was from a miscalibrated harness and
-was withdrawn; see docs/PERF.md for the current numbers). Small patches
-that underutilise the chip are the case where batching is most likely to
-win.
+Sizing guidance (r4 on-chip study, `scripts/bench_vmap_conv.py`, 176x104
+64-ch bf16 patches, B=8; docs/PERF.md): vmapping per-patch conv KERNELS
+produces grouped convolutions that run at ~1/3 of the sequential
+single-patch rate (9.6 vs 27.9 TF/s) — so with the default
+``vmap_conv_mode="grouped"``, prefer ``batch_patches == mesh_shape`` (one
+patch per device). With ``vmap_conv_mode="tapmm"`` each conv tap becomes a
+BATCHED matmul instead (63.1 TF/s — 6.6x the grouped lowering, 2.26x the
+sequential per-patch rate), making multi-patch-per-chip batching a clear
+win for patches that underutilise a chip; the mode switches the conv
+formulation for this solver's trace only (ops/conv_vjp.conv_impl).
 """
 from __future__ import annotations
 
@@ -44,6 +45,7 @@ from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
                              build_base_input, build_data, build_hyper,
                              extract_noise_canvas, init_carry, make_run_chunk,
                              pad_multiple_for, padded_spatial)
+from ..ops import conv_vjp
 from ..ops.pocs import fk_projection
 
 # module-level so the projection is traced/compiled once, not once per patch
@@ -158,13 +160,19 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     iters_run = [0] * B
     snapshots: List[Dict[int, np.ndarray]] = [{} for _ in range(B)]
 
+    # trace-time conv formulation for THIS solver's jit wrapper (the
+    # executable caches under it; see conv_impl's docstring)
+    tapmm = getattr(cfg, "vmap_conv_mode", "grouped") == "tapmm"
+
     start = time.time()
     lane_elapsed: List[Optional[float]] = [None] * B
     for c in range(n_chunks):
         # host numpy on purpose: jit places it; an eager jnp.arange would
         # land on the process-default backend, not the mesh's
         iters = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int32)
-        carry, ys = jitted(carry, iters, data, hyper)
+        with (conv_vjp.conv_impl("tapmm") if tapmm
+              else contextlib.nullcontext()):
+            carry, ys = jitted(carry, iters, data, hyper)
         ys = jax.device_get(ys)  # leaves: (B, K)
         for b in range(B):
             n_rec = int(np.sum(ys["recorded"][b]))

@@ -149,3 +149,55 @@ def test_f32_convs_request_highest_precision():
     jaxpr16 = str(jax.make_jaxpr(
         lambda a, b: conv_same(a, b, 1, ((1, 1), (1, 1))))(xb, wb))
     assert "HIGHEST" not in jaxpr16
+
+
+@pytest.mark.parametrize("case", [
+    ((12, 10), 3, 6, 5, 1, ((1, 1), (1, 1))),
+    ((9, 8, 7), 3, 4, 3, 1, ((1, 1), (1, 1), (1, 1))),
+    ((12, 10), 3, 6, 5, 1, ((0, 2), (2, 0))),       # asymmetric pads
+    ((12, 12), 4, 5, 6, 2, ((0, 0), (0, 0))),       # stride-2 entry form
+    ((8, 8, 8), 4, 3, 2, 2, ((0, 0), (0, 0), (0, 0))),
+])
+def test_tapmm_impl_matches_conv(case):
+    # conv_impl("tapmm") re-expresses the conv as per-tap matmuls (the
+    # batched-patch fast path, parallel/mesh.py); forward and both grads
+    # must match the conv formulation for every model-zoo conv shape
+    with conv_vjp.conv_impl("tapmm"):
+        _case(*case)
+
+
+def test_tapmm_under_vmap_batched_weights():
+    # the motivating case: per-patch weights under vmap (the grouped-conv
+    # lowering this mode replaces) — exactness of the batched program
+    sp, k, ci, co, B = (12, 10), 3, 6, 6, 4
+    pads = ((1, 1), (1, 1))
+    kx, kw, kc = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(kx, (B, 1) + sp + (ci,), jnp.float32)
+    w = jax.random.normal(kw, (B,) + (k,) * 2 + (ci, co), jnp.float32) * 0.1
+    cot = jax.random.normal(kc, (B, 1) + sp + (co,), jnp.float32)
+
+    def loss(f):
+        return lambda xx, ww: jnp.sum(jax.vmap(
+            lambda a, b: f(a, b, 1, pads))(xx, ww) * cot)
+
+    g0 = jax.grad(loss(_baseline), (0, 1))(x, w)
+    with conv_vjp.conv_impl("tapmm"):
+        y1 = jax.jit(jax.vmap(
+            lambda a, b: conv_same(a, b, 1, pads)))(x, w)
+        g1 = jax.jit(jax.grad(loss(conv_same), (0, 1)))(x, w)
+    y0 = jax.vmap(lambda a, b: _baseline(a, b, 1, pads))(x, w)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    for a, b, nm in zip(g1, g0, ("dx", "dw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-4, err_msg=nm)
+
+
+def test_conv_impl_restores_on_exit():
+    assert conv_vjp._CONV_IMPL == "conv"
+    try:
+        with conv_vjp.conv_impl("tapmm"):
+            assert conv_vjp._CONV_IMPL == "tapmm"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert conv_vjp._CONV_IMPL == "conv"

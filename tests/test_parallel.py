@@ -155,3 +155,22 @@ def test_sharded_pocs(rng):
         assert np.all(np.isfinite(r.history.eps))
         assert r.pocs is not None and r.pocs.shape == r.out_best.shape
         assert np.all(np.isfinite(r.pocs))
+
+
+def test_vmap_tapmm_matches_sequential(rng):
+    # cfg.vmap_conv_mode="tapmm": the batched solver re-expresses convs as
+    # per-tap batched matmuls (conv_vjp.conv_impl); trajectory must match
+    # the sequential conv-formulation solver to fp-noise tolerance
+    patches = make_patches(rng, 2)
+    c = cfg(vmap_conv_mode="tapmm")
+    solver = DIPSolver(c, outchannel=1)
+    batched = solve_patches_batched(c, solver, patches)
+    from deep_prior_interpolation_tpu.ops import conv_vjp
+    assert conv_vjp._CONV_IMPL == "conv"  # restored after the solve
+    for patch, res in zip(patches, batched):
+        seq = DIPSolver(c, outchannel=1).solve(
+            patch["image"], patch["mask"],
+            key=jax.random.PRNGKey(c.seed + int(patch["name"])))
+        np.testing.assert_allclose(res.history.loss[:5], seq.history.loss[:5],
+                                   rtol=1e-3, atol=1e-6)
+        assert np.all(np.isfinite(res.out_best))
