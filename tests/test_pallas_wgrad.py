@@ -84,11 +84,14 @@ def test_gate_rejects_unsupported_shapes():
     # H not a sublane multiple
     assert not wgrad_supported((1, 6, 9, 16, 5), (3, 3, 3, 5, 3), 1,
                                ((1, 1),) * 3)
-    # flagship res-0 shape FITS (bf16): [1,128,64,64,536] k=3 -> co=32
+    # flagship res-0 shapes FIT (bf16): [1,128,64,64,536] k=3, co=32 and
+    # the co=128 ResPath one (both ~17-27 MB of the 64 MB VMEM budget)
     assert wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 32), 1,
                            ((1, 1),) * 3, itemsize=2)
-    # the big ResPath wgrad (co=128) exceeds the un-chunked VMEM budget
-    assert not wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 128),
+    assert wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 128),
+                           1, ((1, 1),) * 3, itemsize=2)
+    # a co=512 monster exceeds the un-chunked VMEM budget
+    assert not wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 512),
                                1, ((1, 1),) * 3, itemsize=2)
 
 
