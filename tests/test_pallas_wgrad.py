@@ -90,8 +90,8 @@ def test_gate_rejects_unsupported_shapes():
                            ((1, 1),) * 3, itemsize=2)
     assert wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 128),
                            1, ((1, 1),) * 3, itemsize=2)
-    # a co=512 monster exceeds the un-chunked VMEM budget
-    assert not wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 512),
+    # a co=1024 monster exceeds the un-chunked VMEM budget
+    assert not wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 1024),
                                1, ((1, 1),) * 3, itemsize=2)
 
 
