@@ -85,12 +85,15 @@ def test_gate_rejects_unsupported_shapes():
     assert not wgrad_supported((1, 6, 9, 16, 5), (3, 3, 3, 5, 3), 1,
                                ((1, 1),) * 3)
     # flagship res-0 shapes FIT (bf16): [1,128,64,64,536] k=3, co=32 and
-    # the co=128 ResPath one (both ~17-27 MB of the 64 MB VMEM budget)
+    # the co=128 ResPath one; Ci is grid-chunked so the 1096-channel res-1
+    # conv that blew v2's VMEM stack is admissible too
     assert wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 32), 1,
                            ((1, 1),) * 3, itemsize=2)
     assert wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 128),
                            1, ((1, 1),) * 3, itemsize=2)
-    # a co=1024 monster exceeds the un-chunked VMEM budget
+    assert wgrad_supported((1, 64, 32, 32, 1096), (3, 3, 3, 1096, 64), 1,
+                           ((1, 1),) * 3, itemsize=2)
+    # a co=1024 monster's dy slabs exceed the per-step VMEM budget
     assert not wgrad_supported((1, 128, 64, 64, 536), (3, 3, 3, 536, 1024),
                                1, ((1, 1),) * 3, itemsize=2)
 
