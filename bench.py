@@ -129,7 +129,12 @@ def main() -> None:
             jax.block_until_ready(ys["loss"])
             break
         except Exception as e:  # noqa: BLE001 — OOM-driven retry
-            if "memory" not in str(e).lower() or (r_on and lv == 0):
+            msg = str(e).lower()
+            # deeper remat only helps HBM pressure; a Mosaic scoped-VMEM
+            # (kernel stack) overflow is remat-invariant — fail fast
+            # instead of burning four more multi-minute relay compiles
+            if ("memory" not in msg or "memory space vmem" in msg
+                    or (r_on and lv == 0)):
                 raise
             print(f"remat=({r_on},{lv}) overflowed HBM, retrying deeper",
                   file=sys.stderr, flush=True)

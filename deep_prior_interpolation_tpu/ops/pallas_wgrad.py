@@ -190,6 +190,12 @@ def _pallas_wgrad_unpadded(x: jnp.ndarray, dy: jnp.ndarray, k: int,
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
+        # Mosaic's default scoped-VMEM budget is 16 MB and the flagship
+        # res-0 step lands at 16.06 MB (measured: the first on-chip v4 run
+        # failed by exactly 60 KB at every remat level). v5e VMEM is
+        # 128 MB/core; grant half, consistent with the 32 MB gate formula.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, *([dy] * k))
 
