@@ -37,6 +37,15 @@ def main() -> None:
                     help="with --platform cpu: force this many virtual devices")
     ap.add_argument("--out", type=str, default=None,
                     help="append the run record to this JSON artifact")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="patches solved concurrently per group (default: "
+                         "one per device); >device_count batches multiple "
+                         "nets per chip via vmap")
+    ap.add_argument("--conv_mode", type=str, default="grouped",
+                    choices=["grouped", "tapmm"],
+                    help="conv formulation under the patch vmap: 'tapmm' "
+                         "turns every kernel tap into one batched matmul "
+                         "(6.6x the grouped lowering on-chip, docs/PERF.md)")
     args = ap.parse_args()
 
     if args.platform == "cpu" and args.devices:
@@ -64,11 +73,13 @@ def main() -> None:
     vol, mask = decimated_pair(nt=256, nx=128, ny=None, rate=0.5, seed=3)
 
     n_dev = jax.device_count()
+    batch = args.batch if args.batch > 0 else n_dev
     cfg = dpi.Config(datadim="2d", gain=1.0, epochs=args.epochs, loss="mae",
                      inputdepth=32, filters=[8, 16, 32], skip=[4, 8],
                      scan_chunk=50,
                      patch_shape=[128, 64], patch_stride=[64, 32],
-                     batch_patches=n_dev, mesh_shape=n_dev if n_dev > 1 else 0)
+                     batch_patches=batch, mesh_shape=n_dev if n_dev > 1 else 0,
+                     vmap_conv_mode=args.conv_mode)
 
     patches = extract_patches(cfg, original=vol, corrupted=mask)
     print(f"{len(patches)} overlapping patches of "
@@ -102,6 +113,10 @@ def main() -> None:
             "net per patch, overlap-add assembly")
         key = (f"{jax.devices()[0].platform}_x{n_dev}dev_"
                f"{args.epochs}iters")
+        if args.batch > 0:
+            key += f"_b{args.batch}"
+        if args.conv_mode != "grouped":
+            key += f"_{args.conv_mode}"
         art[key] = {"snr_db": round(out_snr, 2),
                     "wall_s": round(elapsed, 1),
                     "n_patches": len(patches),
