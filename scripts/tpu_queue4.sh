@@ -30,6 +30,6 @@ run() {
   echo "$(date -u +%H:%M:%S) DONE $name rc=$?" >> /tmp/q_status.log
 }
 
-run pallas_ab4 env DPI_PALLAS_WGRAD=1 python bench.py
+run pallas_ab41 env DPI_PALLAS_WGRAD=1 python bench.py
 
 echo "$(date -u +%H:%M:%S) QUEUE4 COMPLETE" >> /tmp/q_status.log
