@@ -82,8 +82,14 @@ def main() -> None:
     virtual = os.environ.get("BENCH_VIRTUAL", "0") == "1"
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     phase = os.environ.get("BENCH_PHASE", "1") == "1"
-    phase_levels = int(os.environ.get("BENCH_PHASE_LEVELS", "3"))
+    # levels=2 measured 455.73 s/1000 vs 480.62 at levels=3 (r4 rebalance,
+    # docs/PERF.md): at the no-remat cost structure the deepest phased
+    # level's space-to-depth canvases cost more in layout than they return
+    phase_levels = int(os.environ.get("BENCH_PHASE_LEVELS", "2"))
     phase_deep = int(os.environ.get("BENCH_PHASE_DEEP", "0"))
+    # "tapmm" A/Bs the all-matmul conv formulation on the flagship
+    # (StepSettings.conv_mode; see docs/PERF.md r4 structural conclusion)
+    conv_mode = os.environ.get("BENCH_CONV_MODE", "grouped")
     import jax.numpy as jnp
 
     def setup(remat_on, remat_lv):
@@ -94,7 +100,7 @@ def main() -> None:
                      remat=remat_on, remat_levels=remat_lv,
                      virtual_input=virtual, fused_loss=fused,
                      phase_space=phase, phase_levels=phase_levels,
-                     phase_deep_levels=phase_deep)
+                     phase_deep_levels=phase_deep, vmap_conv_mode=conv_mode)
         solver = DIPSolver(cfg, outchannel=1)
         spatial = tuple(img.shape[:-1])
         key = jax.random.PRNGKey(0)

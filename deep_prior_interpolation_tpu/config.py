@@ -43,6 +43,8 @@ class Config:
     slice: str = "xy"  # tx | ty | xy (2.5d slicing)
     imgchannel: Optional[int] = None
     adirandel: float = 0.0
+    # accepted-but-unused, exactly as in the reference: parameter.py:23
+    # defines --padwidth and no code ever reads it
     padwidth: int = 0
     patch_shape: Optional[List[int]] = None
     patch_stride: Optional[List[int]] = None
@@ -104,7 +106,14 @@ class Config:
     remat_levels: int = 0  # 0 -> all levels; N -> only the largest N scales
     virtual_input: bool = False  # regenerate input noise per step (saves HBM)
     profile: bool = False  # capture a jax.profiler trace of one chunk
-    opt_over: str = "net"  # comma list: net,input (utils/torch.py:138-162)
+    # comma list: net,input (utils/torch.py:138-162). The reference's third
+    # group, 'down', is intentionally NOT carried over: it requires an
+    # external downsampler module that neither reference driver ever
+    # constructs (main.py:200 / main_pocs.py call get_params without one,
+    # so 'down' would hit utils/torch.py:154's assert) — dead capability
+    # inherited from the original DIP super-resolution code. resolve()
+    # rejects it with a pointer here; see also docs/MIGRATION.md.
+    opt_over: str = "net"
     pad_multiple: int = 0  # 0 -> auto: 2**(n_scales-1); 1 -> no padding
     scan_chunk: int = 50  # iterations per jitted scan chunk
     fused_loss: bool = False  # Pallas fused masked-loss+metrics kernel
@@ -115,10 +124,12 @@ class Config:
     phase_deep_levels: int = 0  # first N phased resolutions at DEPTH 2 (x4^ndim lanes)
     batch_patches: int = 0  # 0 -> sequential; N -> vmap N same-shaped patches
     mesh_shape: int = 0  # 0 -> no mesh; N -> 1-D patch mesh over N devices
-    # conv formulation inside the batched patch solver: "grouped" keeps
-    # XLA's lowering of a vmapped conv; "tapmm" re-expresses each conv as
-    # per-tap batched matmuls (6.6x faster per patch on-chip at 64ch 2D
-    # patches — docs/PERF.md r4 vmap-conv study; ops/conv_vjp.conv_impl)
+    # conv formulation inside the solver step: "grouped" keeps XLA's conv
+    # emitters (and its lowering of a vmapped conv); "tapmm" re-expresses
+    # each conv as per-tap (batched) matmuls — 6.6x faster per patch than
+    # grouped under the patch vmap at 64ch 2D patches (docs/PERF.md r4
+    # vmap-conv study). Applies to batched AND single-patch solves; carried
+    # by StepSettings.conv_mode so it keys the jit cache.
     vmap_conv_mode: str = "grouped"
 
     # ------------------------------------------------------------------
@@ -127,6 +138,18 @@ class Config:
 
     def resolve(self) -> "Config":
         """Post-parse derivations (parity: parameter.py:113-125)."""
+        groups = set(self.opt_over.split(","))
+        if not groups <= {"net", "input"}:
+            raise ValueError(
+                f"opt_over supports 'net' and 'input', got {self.opt_over!r}"
+                " (the reference's 'down' group is unreachable dead code "
+                "there — see the opt_over field comment)")
+        if self.vmap_conv_mode not in ("grouped", "tapmm"):
+            # argparse validates CLI use; this catches Python-API typos that
+            # would otherwise silently fall back to the 6.6x-slower mode
+            raise ValueError(
+                f"vmap_conv_mode must be 'grouped' or 'tapmm', "
+                f"got {self.vmap_conv_mode!r}")
         if self.upsample == "linear":
             self.upsample = "trilinear" if self.datadim == "3d" else "bilinear"
         if self.patch_shape is None:

@@ -56,6 +56,19 @@ def taper2d(nmask: Tuple[int, int], ntap: Tuple[int, int],
     return np.outer(b(nmask[0], ntap[0]), b(nmask[1], ntap[1]))
 
 
+def taper3d(nt: int, nmask: Tuple[int, int], ntap: Tuple[int, int],
+            tapertype: str = "hanning") -> np.ndarray:
+    """3-D taper window: the 2-D separable (y, x) taper replicated along a
+    trailing time axis -> shape (nmask[0], nmask[1], nt).
+
+    Parity: the reference ships this builder (patch_extractor.py:11-54)
+    even though its extractor applies tapering 2-D-only; kept for the same
+    standalone uses (e.g. tapering a 3-D weighting mask by hand).
+    """
+    return np.repeat(taper2d(tuple(nmask), tuple(ntap), tapertype)[:, :, None],
+                     nt, axis=2)
+
+
 # ----------------------------------------------------------------------
 # score functions / shape helpers (patch_extractor.py:114-161)
 # ----------------------------------------------------------------------

@@ -49,6 +49,7 @@ import optax
 
 from ..config import Config
 from ..models import get_net, init_weights
+from ..ops import conv_vjp
 from ..ops import losses as L
 from ..ops.noise import build_forgetting_data, data_forgetting_weights, get_noise
 from ..ops.pocs import fk_projection
@@ -101,6 +102,12 @@ class StepSettings:
     # three); interpret mode off-TPU so the same step runs on the CPU mesh
     fused_loss: bool = False
     fused_interpret: bool = False
+    # conv formulation for every conv traced into this step: "conv" (XLA's
+    # conv emitters) or "tapmm" (each kernel tap as one matmul — the fast
+    # path for vmapped per-patch weights, docs/PERF.md r4 study). A
+    # StepSettings field so it participates in the solver's jit cache key
+    # instead of living in process-global trace state.
+    conv_mode: str = "conv"
 
     @classmethod
     def from_config(cls, cfg: Config, orig_spatial: Tuple[int, ...],
@@ -132,6 +139,8 @@ class StepSettings:
                    # compile); only true host backends need interpret mode
                    fused_interpret=jax.default_backend()
                    not in ("tpu", "axon"),
+                   conv_mode=("tapmm" if cfg.vmap_conv_mode == "tapmm"
+                              else "conv"),
                    orig_spatial=tuple(orig_spatial))
 
 
@@ -335,7 +344,12 @@ def make_run_chunk(model, s: StepSettings) -> Callable:
         return new_carry, ys
 
     def run_chunk(carry, iters, data, hyper):
-        return jax.lax.scan(partial(step, data, hyper), carry, iters)
+        # the context is active exactly while THIS function body traces
+        # (cached executables never re-enter it), so the conv formulation
+        # follows s.conv_mode — which keys the jit cache — not whatever
+        # ambient state another trace left behind
+        with conv_vjp.conv_impl(s.conv_mode):
+            return jax.lax.scan(partial(step, data, hyper), carry, iters)
 
     return run_chunk
 

@@ -92,8 +92,27 @@ class Decoder(nn.Module):
         return Conv(self.out_channels, 3, ndim=2)(x)
 
 
+class _RolloutStep(nn.Module):
+    """One frame: GRU state update + decode (the scanned body)."""
+    hidden: int
+    out_channels: int
+    upsample_mode: str
+
+    @nn.compact
+    def __call__(self, carry, _):
+        feature, state = carry
+        state = ConvGRUCell(self.hidden)(feature, state)
+        out = Decoder(self.out_channels, self.upsample_mode)(state)
+        return (feature, state), out
+
+
 class Ensemble(nn.Module):
-    """Recurrent encoder-GRU-decoder rollout (convgru.py:95-113)."""
+    """Recurrent encoder-GRU-decoder rollout (convgru.py:95-113).
+
+    The ``num_frames`` rollout is a ``flax.linen.scan`` over a single
+    shared-parameter step (GRU update + decode), so it lowers to ONE XLA
+    while-loop — trace/compile time is O(1) in the frame count.
+    """
     out_channels: int = 1
     num_frames: int = 4
     hidden: int = 512
@@ -101,17 +120,15 @@ class Ensemble(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        encoder = Encoder()
-        cell = ConvGRUCell(self.hidden)
-        decoder = Decoder(self.out_channels, self.upsample_mode)
-
         # identical input each frame (convgru.py:105-110) -> encode once
-        feature = encoder(x)
+        feature = Encoder()(x)
         state = jnp.zeros(feature.shape[:-1] + (self.hidden,), feature.dtype)
 
-        outs = []
-        for _ in range(self.num_frames):  # static unroll; params are shared
-            state = cell(feature, state)
-            outs.append(decoder(state))
-        # (num_frames outputs) stacked on the batch axis (convgru.py:111)
-        return jnp.concatenate(outs, axis=0)
+        rollout = nn.scan(_RolloutStep,
+                          variable_broadcast="params",
+                          split_rngs={"params": False},
+                          length=self.num_frames)
+        _, outs = rollout(self.hidden, self.out_channels,
+                          self.upsample_mode)((feature, state), None)
+        # (num_frames, N, ...) frames stacked on the batch axis (convgru.py:111)
+        return outs.reshape((-1,) + outs.shape[2:])

@@ -43,6 +43,7 @@ from __future__ import annotations
 import contextlib
 import itertools
 import os
+import threading
 from functools import partial
 from typing import Tuple
 
@@ -52,10 +53,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["conv_same", "conv_impl"]
+__all__ = ["conv_same", "conv_impl", "current_conv_impl"]
 
-# trace-time conv formulation, switched by :func:`conv_impl`
-_CONV_IMPL = "conv"
+# trace-time conv formulation, switched by :func:`conv_impl`. Thread-local
+# so concurrent traces (e.g. a background compile thread) cannot observe
+# another thread's mode.
+_IMPL_TLS = threading.local()
+
+
+def current_conv_impl() -> str:
+    return getattr(_IMPL_TLS, "mode", "conv")
 
 
 @contextlib.contextmanager
@@ -68,22 +75,21 @@ def conv_impl(mode: str):
     single-patch efficiency; the tap form instead vmaps every tap into one
     BATCHED matmul (B, M, Ci) @ (B, Ci, Co) at full MXU rate — measured
     6.6x faster per patch than the grouped lowering on the 2D lines-scale
-    patch (docs/PERF.md, r4 vmap-conv study). Used by
-    ``parallel.solve_patches_batched`` when ``cfg.vmap_conv_mode ==
-    "tapmm"``; single-patch programs should stay on "conv".
+    patch (docs/PERF.md, r4 vmap-conv study).
 
-    Trace-time only: wrap the calls that TRACE the jitted function (a
-    cached executable is unaffected). Each ``solve_patches_batched`` call
-    constructs its own ``jax.jit`` wrapper, so the mode cannot leak into
-    another program's cache.
+    Trace-time only, and jit-cache-safe by construction: the solver's
+    ``run_chunk`` re-enters this context around its own ``lax.scan`` with
+    the mode from ``StepSettings.conv_mode`` (part of the solver's jit
+    cache key), so whichever function is being traced carries its own
+    mode. A cached executable is unaffected by the ambient mode. Direct
+    users outside the solver should wrap the call that TRACES their jit.
     """
-    global _CONV_IMPL
-    prev = _CONV_IMPL
-    _CONV_IMPL = mode
+    prev = current_conv_impl()
+    _IMPL_TLS.mode = mode
     try:
         yield
     finally:
-        _CONV_IMPL = prev
+        _IMPL_TLS.mode = prev
 
 
 def _tap_conv(x, w, stride, pads, prec):
@@ -124,7 +130,7 @@ def _fwd_conv(x, w, stride, pads):
     prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
             and os.environ.get("DPI_F32_CONV_PRECISION", "highest")
             != "default" else None)
-    if _CONV_IMPL == "tapmm":
+    if current_conv_impl() == "tapmm":
         return _tap_conv(x, w, stride, pads, prec)
     return lax.conv_general_dilated(
         x, w, (stride,) * d, list(pads),

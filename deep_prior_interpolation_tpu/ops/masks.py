@@ -17,40 +17,50 @@ from scipy.ndimage import grey_dilation
 
 def build_mask(data: np.ndarray, rate: float, regular: bool = False,
                rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Binary trace mask over (t, x[, y]) with ``rate`` missing traces."""
+    """Binary trace mask over (t, x[, y]) with ``rate`` missing traces.
+
+    Behavioural parity with the reference's mask synthesis
+    (/root/reference/utils/mask.py:6-53), vectorised over the trace axis
+    (whole columns of constant time are kept or dropped together):
+
+    * ``regular``: an every-``p``-th comb, where ``p = ceil(n / anchors)``.
+      For ``rate >= 0.5`` the anchors are the SURVIVORS (trace 0, p, 2p, …
+      kept, everything between them dropped); for ``rate < 0.5`` the anchors
+      are the VICTIMS (trace 0, p, 2p, … dropped). Traces beyond the last
+      full comb period keep the background value (kept resp. dropped) —
+      pinned by tests/test_data.py::test_build_mask_golden.
+    * random: ``rate * n`` distinct traces drawn from ``rng`` are dropped.
+    """
     if data.ndim == 2:
-        nt, nx = data.shape
-        ny = 1
-        flat = data
+        nt = data.shape[0]
+        trace_grid = (data.shape[1], 1)
     elif data.ndim == 3:
-        nt, nx, ny = data.shape
-        flat = data.reshape((nt, -1))
+        nt = data.shape[0]
+        trace_grid = data.shape[1:]
     else:
         raise ValueError("data volume has to be either 2D or 3D")
 
-    num_traces = nx * ny
-    num_deletion = int(num_traces * rate)
+    n = int(np.prod(trace_grid))
+    n_drop = int(n * rate)
+    col = np.arange(n)
 
     if regular:
+        anchors = (n - n_drop) if rate >= 0.5 else n_drop
+        period = -(-n // anchors)  # ceil
+        combed = (col < anchors * period) & (col % period != 0)
         if rate >= 0.5:
-            mask = np.ones_like(flat)
-            remain = num_traces - num_deletion
-            m = int(np.ceil(num_traces / remain))
-            for i in range(remain):
-                mask[:, i * m + 1:i * m + m] = 0
+            keep = ~combed          # anchors survive, the comb drops
         else:
-            mask = np.zeros_like(flat)
-            remain = num_deletion
-            m = int(np.ceil(num_traces / remain))
-            for i in range(remain):
-                mask[:, i * m + 1:i * m + m] = 1
+            keep = combed           # anchors drop, the comb survives
     else:
         rng = rng or np.random.default_rng()
-        del_idx = rng.choice(np.arange(num_traces), num_deletion, replace=False)
-        mask = np.ones_like(flat)
-        mask[:, del_idx] = 0
+        dropped = rng.choice(np.arange(n), n_drop, replace=False)
+        keep = np.ones(n, bool)
+        keep[dropped] = False
 
-    return mask.reshape((nt, nx, ny)).squeeze()
+    trace_mask = keep.astype(data.dtype)
+    return np.broadcast_to(trace_mask, (nt, n)).reshape(
+        (nt,) + trace_grid).squeeze().copy()
 
 
 def add_rand_mask(mask: np.ndarray, perc: float = 0.3,

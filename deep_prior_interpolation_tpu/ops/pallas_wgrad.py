@@ -194,7 +194,13 @@ def _pallas_wgrad_unpadded(x: jnp.ndarray, dy: jnp.ndarray, k: int,
         # res-0 step lands at 16.06 MB (measured: the first on-chip v4 run
         # failed by exactly 60 KB at every remat level). v5e VMEM is
         # 128 MB/core; grant half, consistent with the 32 MB gate formula.
+        # dimension_semantics: the kernel REQUIRES sequential grid order —
+        # the scratch border is zeroed only at step (0,0,0) and out_ref
+        # accumulates across consecutive depth steps — so pin every dim
+        # "arbitrary"; on megacore TPUs (v4/v4p) Mosaic would otherwise be
+        # free to split the leading grid dim across cores and corrupt dW.
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, *([dy] * k))

@@ -24,8 +24,8 @@ single-patch rate (9.6 vs 27.9 TF/s) — so with the default
 patch per device). With ``vmap_conv_mode="tapmm"`` each conv tap becomes a
 BATCHED matmul instead (63.1 TF/s — 6.6x the grouped lowering, 2.26x the
 sequential per-patch rate), making multi-patch-per-chip batching a clear
-win for patches that underutilise a chip; the mode switches the conv
-formulation for this solver's trace only (ops/conv_vjp.conv_impl).
+win for patches that underutilise a chip; the mode is carried by
+``StepSettings.conv_mode`` (part of the solver's jit cache key).
 """
 from __future__ import annotations
 
@@ -45,7 +45,6 @@ from ..engine.solver import (DIPSolver, SolveResult, StepSettings,
                              build_base_input, build_data, build_hyper,
                              extract_noise_canvas, init_carry, make_run_chunk,
                              pad_multiple_for, padded_spatial)
-from ..ops import conv_vjp
 from ..ops.pocs import fk_projection
 
 # module-level so the projection is traced/compiled once, not once per patch
@@ -64,6 +63,54 @@ def make_mesh(n_devices: int = 0,
 
 def _tree_stack(trees: Sequence[Any]):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def overlap_add_sharded(patches, image_shape: Sequence[int],
+                        dim: Sequence[int], stride: Sequence[int],
+                        mesh: Mesh, normalize: bool = True) -> jnp.ndarray:
+    """Overlap-add assembly of a patch batch sharded over the mesh.
+
+    The one collective of the patch-parallel design (SURVEY §2.2): each
+    device scatter-adds its local shard of ``patches`` (axis 0, grid order
+    of :func:`deep_prior_interpolation_tpu.data.patcher.flat_index_map`)
+    into a device-local volume, then a single ``psum`` over the "patch"
+    axis assembles the full volume on every device — no per-patch host
+    round-trips (the reference assembles on host with nested Python loops,
+    utils/patch_extractor.py:370-428). Overlap counts depend only on the
+    tiling geometry, so the normaliser is a host-precomputed constant.
+
+    ``patches``: (P, *dim) with P a multiple of the mesh size (pad with
+    zero patches if needed — zero adds are no-ops). Returns the assembled
+    ``image_shape`` volume (replicated; fetch once).
+    """
+    from ..data.patcher import flat_index_map
+
+    n_dev = mesh.devices.size
+    n_patches = patches.shape[0]
+    assert n_patches % n_dev == 0, \
+        f"patch count {n_patches} must be a multiple of mesh size {n_dev}"
+    idx = flat_index_map(tuple(image_shape), tuple(dim), tuple(stride))
+    assert idx.shape[0] == n_patches, \
+        f"tiling implies {idx.shape[0]} patches, got {n_patches}"
+    nflat = int(np.prod(image_shape))
+
+    def local_add(patch_shard, idx_shard):
+        flat = jnp.zeros(nflat, patch_shard.dtype)
+        flat = flat.at[idx_shard.ravel()].add(patch_shard.reshape(-1))
+        return jax.lax.psum(flat, "patch")
+
+    sh = NamedSharding(mesh, P("patch"))
+    fn = jax.jit(jax.shard_map(local_add, mesh=mesh,
+                               in_specs=(P("patch"), P("patch")),
+                               out_specs=P()))
+    with jax.default_device(mesh.devices.flat[0]):
+        out = fn(jax.device_put(jnp.asarray(patches), sh),
+                 jax.device_put(jnp.asarray(idx), sh))
+        if normalize:
+            counts = np.zeros(nflat, np.float64)
+            np.add.at(counts, idx.ravel(), 1.0)
+            out = out / jnp.asarray(counts, out.dtype)
+    return out.reshape(tuple(image_shape))
 
 
 def solve_patches_batched(cfg: Config, solver: DIPSolver,
@@ -160,19 +207,13 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     iters_run = [0] * B
     snapshots: List[Dict[int, np.ndarray]] = [{} for _ in range(B)]
 
-    # trace-time conv formulation for THIS solver's jit wrapper (the
-    # executable caches under it; see conv_impl's docstring)
-    tapmm = getattr(cfg, "vmap_conv_mode", "grouped") == "tapmm"
-
     start = time.time()
     lane_elapsed: List[Optional[float]] = [None] * B
     for c in range(n_chunks):
         # host numpy on purpose: jit places it; an eager jnp.arange would
         # land on the process-default backend, not the mesh's
         iters = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int32)
-        with (conv_vjp.conv_impl("tapmm") if tapmm
-              else contextlib.nullcontext()):
-            carry, ys = jitted(carry, iters, data, hyper)
+        carry, ys = jitted(carry, iters, data, hyper)
         ys = jax.device_get(ys)  # leaves: (B, K)
         for b in range(B):
             n_rec = int(np.sum(ys["recorded"][b]))

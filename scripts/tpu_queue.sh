@@ -40,14 +40,19 @@ run() {  # run <name> <cmd...> — no timeout: see header
   echo "$(date -u +%H:%M:%S) START $name" >> /tmp/q_status.log
   "$@" > "/tmp/q_$name.log" 2>&1 &
   local pid=$!
-  local mins=0
+  local secs=0
+  # 30 s poll so the next queued job starts promptly; the wedged-client
+  # watchdog line still fires every 10 min of elapsed time
   while kill -0 "$pid" 2>/dev/null; do
-    sleep 600
-    mins=$((mins + 10))
-    echo "$(date -u +%H:%M:%S) WATCHDOG $name still running (${mins}m)" >> /tmp/q_status.log
+    sleep 30
+    secs=$((secs + 30))
+    if [ $((secs % 600)) -eq 0 ]; then
+      echo "$(date -u +%H:%M:%S) WATCHDOG $name still running ($((secs / 60))m)" >> /tmp/q_status.log
+    fi
   done
-  wait "$pid"
-  echo "$(date -u +%H:%M:%S) DONE $name rc=$?" >> /tmp/q_status.log
+  wait "$pid"  # reap + collect the exit status (bash keeps it post-exit)
+  local rc=$?
+  echo "$(date -u +%H:%M:%S) DONE $name rc=$rc" >> /tmp/q_status.log
 }
 
 run bench_deep1 env BENCH_PHASE_DEEP=1 python bench.py

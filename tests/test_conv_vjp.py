@@ -193,11 +193,27 @@ def test_tapmm_under_vmap_batched_weights():
 
 
 def test_conv_impl_restores_on_exit():
-    assert conv_vjp._CONV_IMPL == "conv"
+    assert conv_vjp.current_conv_impl() == "conv"
     try:
         with conv_vjp.conv_impl("tapmm"):
-            assert conv_vjp._CONV_IMPL == "tapmm"
+            assert conv_vjp.current_conv_impl() == "tapmm"
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    assert conv_vjp._CONV_IMPL == "conv"
+    assert conv_vjp.current_conv_impl() == "conv"
+
+
+def test_conv_impl_is_thread_local():
+    # concurrent traces must not observe another thread's mode (the r4
+    # process-global was an ADVICE finding)
+    import threading
+    seen = {}
+
+    def worker():
+        seen["worker"] = conv_vjp.current_conv_impl()
+
+    with conv_vjp.conv_impl("tapmm"):
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+    assert seen["worker"] == "conv"

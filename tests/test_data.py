@@ -77,6 +77,19 @@ def test_taper2d():
     assert t[0, 8] < 0.1
 
 
+def test_taper3d():
+    from deep_prior_interpolation_tpu.data import taper3d
+    t = taper3d(5, (16, 12), (4, 3), "hanning")
+    assert t.shape == (16, 12, 5)  # (nmask0, nmask1, nt), patch_extractor.py:54
+    # every time slice is the 2-D separable taper
+    np.testing.assert_array_equal(t[..., 0], taper2d((16, 12), (4, 3)))
+    np.testing.assert_array_equal(t[..., 0], t[..., 4])
+    assert t[8, 6, 2] == pytest.approx(1.0)
+    # tapertype=None semantics: all-ones window
+    np.testing.assert_array_equal(taper3d(3, (8, 8), (2, 2), "rect"),
+                                  np.ones((8, 8, 3)))
+
+
 def test_tapered_reconstruct_no_norm(rng):
     x = rng.randn(32, 32).astype(np.float32)
     pe = PatchExtractor(dim=(16, 16), stride=(8, 8), tapering="hanning")
@@ -168,6 +181,33 @@ def test_build_mask_and_add_rand():
     assert mr.mean() <= 0.5
     m2 = add_rand_mask(m, 0.5, rng_g)
     assert m2.sum() < m.sum()
+
+
+def test_build_mask_golden():
+    # seeded outputs captured from the pre-r5 implementation before the
+    # vectorised rewrite: exact mask GEOMETRY is load-bearing (regular-comb
+    # anchor placement, truncated last period, rng stream consumption)
+    expected = {
+        "reg_hi_2d": [1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0],
+        "reg_hi_3d": [[1, 0, 1], [0, 1, 0], [1, 0, 1], [0, 1, 0]],
+        "reg_lo_2d": [0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1],
+        "reg_lo_3d": [[0, 1], [1, 1], [1, 0], [1, 1], [1, 1]],
+        "rand_2d": [0, 1, 1, 1, 0, 0, 0, 1, 1, 1],
+    }
+    cases = [
+        ("reg_hi_2d", np.ones((3, 11), np.float32), 0.6, True),
+        ("reg_hi_3d", np.ones((2, 4, 3), np.float32), 0.5, True),
+        ("reg_lo_2d", np.ones((3, 11), np.float32), 0.3, True),
+        ("reg_lo_3d", np.ones((2, 5, 2), np.float64), 0.25, True),
+        ("rand_2d", np.ones((3, 10), np.float32), 0.4, False),
+    ]
+    for name, data, rate, regular in cases:
+        m = build_mask(data, rate, regular=regular,
+                       rng=np.random.default_rng(42))
+        assert m.dtype == data.dtype and m.shape == data.shape, name
+        np.testing.assert_array_equal(
+            m[0], np.asarray(expected[name], data.dtype), err_msg=name)
+        assert (m == m[0]).all(), name  # trace masks are time-invariant
 
 
 def test_dilate_and_mask_update():

@@ -1,11 +1,14 @@
 """Patch-parallel layer tests on the virtual 8-device CPU mesh."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from deep_prior_interpolation_tpu.config import Config
 from deep_prior_interpolation_tpu.engine import DIPSolver
-from deep_prior_interpolation_tpu.parallel import make_mesh, solve_patches_batched
+from deep_prior_interpolation_tpu.parallel import (make_mesh,
+                                                   overlap_add_sharded,
+                                                   solve_patches_batched)
 
 
 def make_patches(rng, n, nt=24, nx=16):
@@ -158,19 +161,67 @@ def test_sharded_pocs(rng):
 
 
 def test_vmap_tapmm_matches_sequential(rng):
-    # cfg.vmap_conv_mode="tapmm": the batched solver re-expresses convs as
-    # per-tap batched matmuls (conv_vjp.conv_impl); trajectory must match
-    # the sequential conv-formulation solver to fp-noise tolerance
+    # cfg.vmap_conv_mode="tapmm" (carried by StepSettings.conv_mode): the
+    # batched solver re-expresses convs as per-tap batched matmuls;
+    # trajectory must match the sequential CONV-formulation solver to
+    # fp-noise tolerance (cross-formulation exactness end to end)
     patches = make_patches(rng, 2)
     c = cfg(vmap_conv_mode="tapmm")
     solver = DIPSolver(c, outchannel=1)
     batched = solve_patches_batched(c, solver, patches)
     from deep_prior_interpolation_tpu.ops import conv_vjp
-    assert conv_vjp._CONV_IMPL == "conv"  # restored after the solve
+    assert conv_vjp.current_conv_impl() == "conv"  # restored after the solve
     for patch, res in zip(patches, batched):
-        seq = DIPSolver(c, outchannel=1).solve(
+        seq = DIPSolver(cfg(), outchannel=1).solve(
             patch["image"], patch["mask"],
             key=jax.random.PRNGKey(c.seed + int(patch["name"])))
         np.testing.assert_allclose(res.history.loss[:5], seq.history.loss[:5],
                                    rtol=1e-3, atol=1e-6)
         assert np.all(np.isfinite(res.out_best))
+
+
+def test_single_patch_tapmm_matches_conv(rng):
+    # VERDICT r4 #6: tapmm selectable for SINGLE-patch solves — the same
+    # patch solved under both formulations must agree to fp tolerance
+    patch = make_patches(rng, 1)[0]
+    key = jax.random.PRNGKey(7)
+    a = DIPSolver(cfg(), outchannel=1).solve(
+        patch["image"], patch["mask"], key=key)
+    b = DIPSolver(cfg(vmap_conv_mode="tapmm"), outchannel=1).solve(
+        patch["image"], patch["mask"], key=key)
+    np.testing.assert_allclose(b.history.loss[:5], a.history.loss[:5],
+                               rtol=1e-3, atol=1e-6)
+    assert np.all(np.isfinite(b.out_best))
+
+
+def test_config_rejects_unknown_conv_mode():
+    with pytest.raises(ValueError, match="vmap_conv_mode"):
+        Config(vmap_conv_mode="tapm")
+
+
+@pytest.mark.parametrize("tiling", [
+    # (image_shape, dim, stride): 8 and 16 patches, overlapping and exact
+    ((16, 16, 32), (16, 8, 8), (16, 8, 8)),     # 8 exact tiles, 3D
+    ((8, 36), (8, 8), (8, 4)),                   # 8 tiles overlapping in x
+    ((20, 20), (8, 8), (4, 4)),                  # 16 overlapping tiles, 2D
+])
+def test_overlap_add_sharded_matches_host(rng, tiling):
+    image_shape, dim, stride = tiling
+    from deep_prior_interpolation_tpu.data.patcher import (flat_index_map,
+                                                           overlap_add)
+    n = flat_index_map(image_shape, dim, stride).shape[0]
+    mesh = make_mesh(8)
+    if n % mesh.devices.size != 0:
+        pytest.skip(f"{n} patches not a multiple of the mesh size")
+    patches = rng.randn(n, *dim).astype(np.float32)
+    dev = overlap_add_sharded(patches, image_shape, dim, stride, mesh)
+    host = overlap_add(jnp.asarray(patches), image_shape, dim, stride)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(host),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_overlap_add_sharded_rejects_bad_count(rng):
+    mesh = make_mesh(8)
+    with pytest.raises(AssertionError, match="multiple of mesh size"):
+        overlap_add_sharded(rng.randn(6, 4, 4).astype(np.float32),
+                            (8, 8), (4, 4), (4, 4), mesh)
