@@ -209,32 +209,59 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
 
     start = time.time()
     lane_elapsed: List[Optional[float]] = [None] * B
-    for c in range(n_chunks):
-        # host numpy on purpose: jit places it; an eager jnp.arange would
-        # land on the process-default backend, not the mesh's
-        iters = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int32)
-        carry, ys = jitted(carry, iters, data, hyper)
-        ys = jax.device_get(ys)  # leaves: (B, K)
+
+    def process_ys(ys) -> bool:
+        """Fold one chunk's (B, K) scalar traces into the histories.
+
+        Returns True while any lane was still live at the chunk's last
+        step. Lane-done comes from ``ys["recorded"]`` (= ~done at each
+        step), so no separate ``carry["done"]`` fetch — and no extra host
+        round-trip — is needed.
+        """
+        ys = jax.device_get(ys)  # leaves: (B, K) scalars per step
         for b in range(B):
             n_rec = int(np.sum(ys["recorded"][b]))
             n_rec = min(n_rec, cfg.epochs - iters_run[b])
             hists[b].extend({k: v[b] for k, v in ys.items()}, n_rec)
             iters_run[b] += n_rec
+        now = time.time() - start
+        live = np.asarray(ys["recorded"][:, -1], bool)
+        for b in range(B):
+            # wall-clock until the chunk this lane froze in: honest per-lane
+            # attribution (the lanes run concurrently, so sums exceed wall).
+            # The pipelined loop observes it one chunk late — a <= 1-chunk
+            # over-attribution, bounded by scan_chunk iterations
+            if lane_elapsed[b] is None and not live[b]:
+                lane_elapsed[b] = now
+        return bool(live.any())
+
+    # Pipelined dispatch: enqueue chunk c+1 BEFORE fetching chunk c's
+    # scalars, so the device (and the axon relay pipeline) always holds the
+    # next chunk while the host folds histories — the per-chunk host
+    # round-trip no longer serialises against device compute. Early stop is
+    # observed one chunk late (bounded overshoot: the lookahead chunk runs
+    # on all-done lanes as a no-op; histories are unaffected because
+    # recorded counts gate extension).
+    pending = None  # previous chunk's ys futures
+    for c in range(n_chunks):
+        # host numpy on purpose: jit places it; an eager jnp.arange would
+        # land on the process-default backend, not the mesh's
+        iters = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int32)
+        carry, ys = jitted(carry, iters, data, hyper)
         end_iter = (c + 1) * chunk
         if cfg.save_every and end_iter % cfg.save_every == 0 \
                 and end_iter < cfg.epochs:
+            # deliberate sync point: snapshotting is user-driven IO, and
+            # out_last must be fetched before the next dispatch donates it
             last = np.asarray(jax.device_get(carry["out_last"]), np.float32)
             for b in range(B):
                 snapshots[b][end_iter] = last[b, 0]
-        done = np.asarray(jax.device_get(carry["done"]))
-        now = time.time() - start
-        for b in range(B):
-            # wall-clock until the chunk this lane froze in: honest per-lane
-            # attribution (the lanes run concurrently, so sums exceed wall)
-            if lane_elapsed[b] is None and bool(done[b]):
-                lane_elapsed[b] = now
-        if bool(np.all(done)):
+        if pending is not None and not process_ys(pending):
+            pending = ys  # all lanes froze before this chunk even ran
             break
+        pending = ys
+    if pending is not None:
+        process_ys(pending)
     elapsed = time.time() - start
     lane_elapsed = [e if e is not None else elapsed for e in lane_elapsed]
 
