@@ -61,10 +61,6 @@ def make_mesh(n_devices: int = 0,
     return Mesh(np.array(devs), ("patch",))
 
 
-def _tree_stack(trees: Sequence[Any]):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
-
-
 def overlap_add_sharded(patches, image_shape: Sequence[int],
                         dim: Sequence[int], stride: Sequence[int],
                         mesh: Mesh, normalize: bool = True) -> jnp.ndarray:
@@ -111,6 +107,45 @@ def overlap_add_sharded(patches, image_shape: Sequence[int],
             np.add.at(counts, idx.ravel(), 1.0)
             out = out / jnp.asarray(counts, out.dtype)
     return out.reshape(tuple(image_shape))
+
+
+def setup_patch_batch(cfg: Config, solver: DIPSolver, s: StepSettings,
+                      imgs: np.ndarray, masks: np.ndarray,
+                      padded: Tuple[int, ...], input_shape: Tuple[int, ...],
+                      seeds: Optional[np.ndarray] = None):
+    """Batched per-patch setup in ONE compiled call.
+
+    Derives each lane's PRNG keys, input noise canvas, data dict and fresh
+    carry (model init + Adam state) under a single ``jit(vmap(...))`` —
+    bit-identical to the former per-patch Python loop (lane ``i`` uses
+    ``PRNGKey(cfg.seed + i)``), but B eager ``model.init`` executions
+    become one compile + one execution. Through the axon relay the serial
+    loop cost ~30 s/lane (≈15 min of setup at B=32, dwarfing the 23 s
+    solve); batched it is one round trip.
+
+    ``seeds``: per-lane PRNG seed values (default ``cfg.seed + arange(B)``).
+    """
+    if seeds is None:
+        seeds = cfg.seed + np.arange(imgs.shape[0])
+
+    def one(seed, img, mask):
+        key = jax.random.PRNGKey(seed)
+        k_noise, k_model = jax.random.split(key)
+        if s.virtual_input:
+            base_input = None
+            data = build_data(cfg, s, img, mask, None, solver.dtype,
+                              input_key=k_noise)
+        else:
+            base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
+            data = build_data(cfg, s, img, mask, base_input, solver.dtype)
+        carry = init_carry(solver.model, s, cfg, k_model, input_shape,
+                           solver.outchannel, None, solver.dtype,
+                           base_input=base_input)
+        return carry, data
+
+    return jax.jit(jax.vmap(one))(np.asarray(seeds, np.int32),
+                                  np.asarray(imgs, np.float32),
+                                  np.asarray(masks, np.float32))
 
 
 def solve_patches_batched(cfg: Config, solver: DIPSolver,
@@ -173,24 +208,11 @@ def solve_patches_batched(cfg: Config, solver: DIPSolver,
     else:
         place = contextlib.nullcontext()
     with place:
-        carries, datas = [], []
-        for i, patch in enumerate(patches):
-            key = jax.random.PRNGKey(cfg.seed + i)
-            k_noise, k_model = jax.random.split(key)
-            if s.virtual_input:
-                base_input = None
-                datas.append(build_data(cfg, s, patch["image"], patch["mask"],
-                                        None, solver.dtype, input_key=k_noise))
-            else:
-                base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
-                datas.append(build_data(cfg, s, patch["image"], patch["mask"],
-                                        base_input, solver.dtype))
-            carries.append(init_carry(solver.model, s, cfg, k_model,
-                                      input_shape, solver.outchannel,
-                                      None, solver.dtype,
-                                      base_input=base_input))
-        carry = _tree_stack(carries)
-        data = _tree_stack(datas)
+        carry, data = setup_patch_batch(
+            cfg, solver, s,
+            np.stack([np.asarray(p["image"], np.float32) for p in patches]),
+            np.stack([np.asarray(p["mask"], np.float32) for p in patches]),
+            padded, input_shape)
         hyper = build_hyper(cfg)
 
     if mesh is not None:

@@ -50,9 +50,7 @@ def main() -> None:
     from deep_prior_interpolation_tpu.config import Config
     from deep_prior_interpolation_tpu.data import lines_dataset
     from deep_prior_interpolation_tpu.engine import (DIPSolver, StepSettings,
-                                                     build_base_input,
-                                                     build_data, build_hyper,
-                                                     init_carry,
+                                                     build_hyper,
                                                      make_run_chunk,
                                                      pad_multiple_for,
                                                      padded_spatial)
@@ -93,23 +91,15 @@ def main() -> None:
         jitted = jax.jit(jax.vmap(run_chunk, in_axes=(0, None, 0, None)),
                          donate_argnums=0)
 
-    def stack(trees):
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
-
-    carries, datas = [], []
-    for b in range(B):
-        key = jax.random.PRNGKey(b)
-        k_noise, k_model = jax.random.split(key)
-        base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
-        datas.append(build_data(cfg, s, img, masks[b], base_input,
-                                solver.dtype))
-        carries.append(init_carry(solver.model, s, cfg, k_model, input_shape,
-                                  1, None, solver.dtype,
-                                  base_input=base_input))
+    # batched one-jit setup (lane b seeds PRNGKey(b)): B model inits in one
+    # compiled call instead of B eager relay round trips (~30 s/lane)
+    from deep_prior_interpolation_tpu.parallel import setup_patch_batch
+    carry, data = setup_patch_batch(
+        cfg, solver, s, np.stack([img] * B), np.stack(masks),
+        padded, input_shape, seeds=np.arange(B))
     if mode == "serial":
-        carry, data = carries[0], datas[0]
-    else:
-        carry, data = stack(carries), stack(datas)
+        carry = jax.tree_util.tree_map(lambda x: x[0], carry)
+        data = jax.tree_util.tree_map(lambda x: x[0], data)
     hyper = build_hyper(cfg)
 
     # warmup chunk: compile + first execution
