@@ -32,7 +32,7 @@ from __future__ import annotations
 import contextlib
 import math
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,9 +75,10 @@ def overlap_add_sharded(patches, image_shape: Sequence[int],
     utils/patch_extractor.py:370-428). Overlap counts depend only on the
     tiling geometry, so the normaliser is a host-precomputed constant.
 
-    ``patches``: (P, *dim) with P a multiple of the mesh size (pad with
-    zero patches if needed — zero adds are no-ops). Returns the assembled
-    ``image_shape`` volume (replicated; fetch once).
+    ``patches``: (P, *dim) with P a multiple of the mesh size. A batch
+    padded with zero patches beyond the tiling's own count is accepted:
+    the extra lanes scatter zeros (a no-op) at the first tile's indices.
+    Returns the assembled ``image_shape`` volume (replicated; fetch once).
     """
     from ..data.patcher import flat_index_map
 
@@ -86,8 +87,14 @@ def overlap_add_sharded(patches, image_shape: Sequence[int],
     assert n_patches % n_dev == 0, \
         f"patch count {n_patches} must be a multiple of mesh size {n_dev}"
     idx = flat_index_map(tuple(image_shape), tuple(dim), tuple(stride))
-    assert idx.shape[0] == n_patches, \
-        f"tiling implies {idx.shape[0]} patches, got {n_patches}"
+    assert idx.shape[0] <= n_patches, \
+        f"tiling implies {idx.shape[0]} patches, got only {n_patches}"
+    n_real = idx.shape[0]
+    if n_real < n_patches:  # zero-padded lanes: aim them at tile 0
+        assert not np.asarray(patches[n_real:]).any(), \
+            f"patches beyond the tiling's {n_real} must be zero padding"
+        idx = np.concatenate(
+            [idx, np.broadcast_to(idx[:1], (n_patches - n_real,) + idx.shape[1:])])
     nflat = int(np.prod(image_shape))
 
     def local_add(patch_shard, idx_shard):
@@ -103,9 +110,12 @@ def overlap_add_sharded(patches, image_shape: Sequence[int],
         out = fn(jax.device_put(jnp.asarray(patches), sh),
                  jax.device_put(jnp.asarray(idx), sh))
         if normalize:
+            # counts from the REAL tiling only (padded lanes add zeros, not
+            # coverage); cells the tiling never touches keep count 0 — clamp
+            # to 1 so they stay 0 in the output instead of going NaN
             counts = np.zeros(nflat, np.float64)
-            np.add.at(counts, idx.ravel(), 1.0)
-            out = out / jnp.asarray(counts, out.dtype)
+            np.add.at(counts, idx[:n_real].ravel(), 1.0)
+            out = out / jnp.asarray(np.maximum(counts, 1.0), out.dtype)
     return out.reshape(tuple(image_shape))
 
 
@@ -117,35 +127,52 @@ def setup_patch_batch(cfg: Config, solver: DIPSolver, s: StepSettings,
 
     Derives each lane's PRNG keys, input noise canvas, data dict and fresh
     carry (model init + Adam state) under a single ``jit(vmap(...))`` —
-    bit-identical to the former per-patch Python loop (lane ``i`` uses
-    ``PRNGKey(cfg.seed + i)``), but B eager ``model.init`` executions
-    become one compile + one execution. Through the axon relay the serial
-    loop cost ~30 s/lane (≈15 min of setup at B=32, dwarfing the 23 s
-    solve); batched it is one round trip.
+    seed-identical to the former per-patch Python loop (lane ``i`` uses
+    ``PRNGKey(cfg.seed + i)``; the jit-fused lowering may round the float
+    draws ~1 ulp differently from eager setup, see docs/PERF.md r5) — but
+    B eager ``model.init`` executions become one compile + one execution.
+    Through the axon relay the serial loop cost ~30 s/lane (≈15 min of
+    setup at B=32, dwarfing the 23 s solve); batched it is one round trip.
+
+    The jitted wrapper is cached on ``solver`` (keyed by ``s``, the shapes,
+    and every cfg field the setup reads) so repeated same-shape patch
+    groups — the documented ceil(P/32) grouping — reuse one executable.
 
     ``seeds``: per-lane PRNG seed values (default ``cfg.seed + arange(B)``).
     """
     if seeds is None:
         seeds = cfg.seed + np.arange(imgs.shape[0])
 
-    def one(seed, img, mask):
-        key = jax.random.PRNGKey(seed)
-        k_noise, k_model = jax.random.split(key)
-        if s.virtual_input:
-            base_input = None
-            data = build_data(cfg, s, img, mask, None, solver.dtype,
-                              input_key=k_noise)
-        else:
-            base_input = build_base_input(cfg, k_noise, padded, solver.dtype)
-            data = build_data(cfg, s, img, mask, base_input, solver.dtype)
-        carry = init_carry(solver.model, s, cfg, k_model, input_shape,
-                           solver.outchannel, None, solver.dtype,
-                           base_input=base_input)
-        return carry, data
+    cache_key = (s, tuple(padded), tuple(input_shape),
+                 # cfg fields consumed by build_base_input / build_data /
+                 # init_carry and not already part of StepSettings
+                 cfg.dtype, cfg.inputdepth, cfg.noise_dist, cfg.noise_std,
+                 cfg.filter_noise_with_wavelet, cfg.lowpass_fs,
+                 cfg.lowpass_fc, cfg.lowpass_ntaps, cfg.pocs_alpha,
+                 cfg.inittype, cfg.initgain, cfg.lr)
+    cache = solver.__dict__.setdefault("_setup_jits", {})
+    if cache_key not in cache:
+        def one(seed, img, mask):
+            key = jax.random.PRNGKey(seed)
+            k_noise, k_model = jax.random.split(key)
+            if s.virtual_input:
+                base_input = None
+                data = build_data(cfg, s, img, mask, None, solver.dtype,
+                                  input_key=k_noise)
+            else:
+                base_input = build_base_input(cfg, k_noise, padded,
+                                              solver.dtype)
+                data = build_data(cfg, s, img, mask, base_input, solver.dtype)
+            carry = init_carry(solver.model, s, cfg, k_model, input_shape,
+                               solver.outchannel, None, solver.dtype,
+                               base_input=base_input)
+            return carry, data
 
-    return jax.jit(jax.vmap(one))(np.asarray(seeds, np.int32),
-                                  np.asarray(imgs, np.float32),
-                                  np.asarray(masks, np.float32))
+        cache[cache_key] = jax.jit(jax.vmap(one))
+
+    return cache[cache_key](np.asarray(seeds, np.int32),
+                            np.asarray(imgs, np.float32),
+                            np.asarray(masks, np.float32))
 
 
 def solve_patches_batched(cfg: Config, solver: DIPSolver,

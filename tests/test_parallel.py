@@ -267,3 +267,24 @@ def test_setup_patch_batch_lane_composition_invariance(rng):
         np.testing.assert_allclose(np.asarray(a[0], np.float32),
                                    np.asarray(b[2], np.float32),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_overlap_add_sharded_padded_lanes(rng):
+    """A 6-tile tiling padded with 2 zero patches to fill an 8-lane mesh:
+    the zero lanes must not disturb values or overlap counts."""
+    from deep_prior_interpolation_tpu.data.patcher import (flat_index_map,
+                                                           overlap_add)
+    image_shape, dim, stride = (8, 28), (8, 8), (8, 4)
+    n = flat_index_map(image_shape, dim, stride).shape[0]
+    assert n == 6
+    mesh = make_mesh(8)
+    real = rng.randn(n, *dim).astype(np.float32)
+    padded = np.concatenate([real, np.zeros((2,) + dim, np.float32)])
+    dev = overlap_add_sharded(padded, image_shape, dim, stride, mesh)
+    host = overlap_add(jnp.asarray(real), image_shape, dim, stride)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(host),
+                               rtol=1e-6, atol=1e-6)
+    # non-zero padding must be rejected loudly
+    bad = np.concatenate([real, np.ones((2,) + dim, np.float32)])
+    with pytest.raises(AssertionError, match="zero padding"):
+        overlap_add_sharded(bad, image_shape, dim, stride, mesh)
