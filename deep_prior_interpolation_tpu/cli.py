@@ -15,6 +15,9 @@ Improvements over the reference, documented:
     (the reference loses nothing on crash but re-runs everything, SURVEY §5)
   * ``--batch_patches N`` solves N same-shaped patches at once with vmap;
     ``--mesh_shape M`` shards the batch over an M-device mesh.
+  * ``--spatial_shards N`` shards each SINGLE patch's activation volumes
+    over N devices along ``--spatial_axis`` (model-parallel; for volumes or
+    precisions exceeding one chip's HBM — parallel/spatial.py).
 """
 from __future__ import annotations
 
@@ -72,6 +75,13 @@ def run(cfg: Config, results_root: str = "./results",
         _log(f"Interpolation done! Saved to {outpath}")
         return outpath
 
+    spatial_mesh = None
+    if cfg.spatial_shards and cfg.spatial_shards > 1:
+        from .parallel import make_spatial_mesh
+        spatial_mesh = make_spatial_mesh(cfg.spatial_shards)
+        _log(f"Spatial sharding: each patch over {cfg.spatial_shards} "
+             f"devices along spatial axis {cfg.spatial_axis}")
+
     prev_params = None
     for i, patch in enumerate(patches):
         name = patch["name"]
@@ -110,7 +120,8 @@ def run(cfg: Config, results_root: str = "./results",
             img, mask, seed=cfg.seed + i, init_params=init_params,
             verbose=True,
             profile_dir=os.path.join(outpath, "profile") if cfg.profile
-            else None)
+            else None,
+            spatial_mesh=spatial_mesh, spatial_axis=cfg.spatial_axis)
         prev_params = res.params
         _log("\n" + sec2time(res.elapsed))
 

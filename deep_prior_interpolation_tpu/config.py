@@ -131,6 +131,12 @@ class Config:
     # vmap-conv study). Applies to batched AND single-patch solves; carried
     # by StepSettings.conv_mode so it keys the jit cache.
     vmap_conv_mode: str = "grouped"
+    # spatial (model-parallel) sharding of each SINGLE patch's activation
+    # volumes over an N-device "space" mesh — for volumes/precisions that
+    # exceed one chip's HBM (SURVEY §2.2 TP row; parallel/spatial.py).
+    # Mutually exclusive with batch_patches/mesh_shape (patch-parallel).
+    spatial_shards: int = 0  # 0/1 -> off; N -> shard over N devices
+    spatial_axis: int = 1  # which SPATIAL dim to shard (0 = time)
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -150,6 +156,17 @@ class Config:
             raise ValueError(
                 f"vmap_conv_mode must be 'grouped' or 'tapmm', "
                 f"got {self.vmap_conv_mode!r}")
+        if self.spatial_shards and self.spatial_shards > 1:
+            if self.batch_patches and self.batch_patches > 1:
+                raise ValueError(
+                    "spatial_shards (model-parallel within one patch) and "
+                    "batch_patches>1 (patch-parallel) are mutually "
+                    "exclusive; shard EITHER the volume OR the patch batch")
+            ndim = 2 if self.datadim == "2d" else 3
+            if not 0 <= self.spatial_axis < ndim:
+                raise ValueError(
+                    f"spatial_axis must index a {self.datadim} spatial dim "
+                    f"(0..{ndim - 1}), got {self.spatial_axis}")
         if self.upsample == "linear":
             self.upsample = "trilinear" if self.datadim == "3d" else "bilinear"
         if self.patch_shape is None:
@@ -273,6 +290,13 @@ def build_parser() -> ArgumentParser:
                    help="conv lowering in the batched patch solver: tapmm "
                         "runs each kernel tap as a batched matmul (faster "
                         "for multi-patch-per-chip batching)")
+    p.add_argument("--spatial_shards", type=int, default=0,
+                   help="shard each single patch's activations over N "
+                        "devices (model-parallel; for volumes/precisions "
+                        "exceeding one chip's HBM)")
+    p.add_argument("--spatial_axis", type=int, default=1,
+                   help="which spatial dim to shard (0 = time; default the "
+                        "first trace axis)")
     return p
 
 

@@ -595,7 +595,8 @@ class DIPSolver:
               verbose: bool = False,
               checkpoint_path: Optional[str] = None,
               checkpoint_every: int = 0,
-              profile_dir: Optional[str] = None) -> SolveResult:
+              profile_dir: Optional[str] = None,
+              spatial_mesh=None, spatial_axis: int = 1) -> SolveResult:
         """Optimise one patch.
 
         ``checkpoint_path`` + ``checkpoint_every`` (in chunks) enable exact
@@ -605,7 +606,17 @@ class DIPSolver:
         up where it left off (the reference can only restart Adam from saved
         weights, SURVEY §5 checkpoint/resume). ``profile_dir`` captures a
         jax.profiler trace of one steady-state chunk.
+
+        ``spatial_mesh`` shards THIS one patch's activation volumes along
+        ``spatial_axis`` (an index into the spatial dims; default 1 = the
+        first trace axis) over a 1-D ``Mesh("space")`` — the model-parallel
+        mode for volumes/precisions that exceed one chip's HBM (SURVEY §2.2
+        TP row; see ``parallel.spatial``). The step function and everything
+        else about the solve are unchanged: params replicate, XLA GSPMD
+        inserts the conv halo exchanges and statistic/gradient all-reduces.
         """
+        import contextlib
+
         cfg = self.cfg
         assert img.shape == mask.shape, "image and mask shapes must match"
         spatial = tuple(img.shape[:-1])
@@ -620,21 +631,32 @@ class DIPSolver:
             input_shape=input_shape)
         run_chunk = self._get_run_chunk(s)
 
+        # eager setup arrays must land on the solve's backend: the mesh's
+        # for a sharded solve (a CPU mesh under a TPU-default process would
+        # otherwise mix backends — the round-1 MULTICHIP failure mode)
+        place = (jax.default_device(spatial_mesh.devices.flat[0])
+                 if spatial_mesh is not None else contextlib.nullcontext())
+
         if key is None:
             key = jax.random.PRNGKey(seed)
         k_noise, k_model, key = jax.random.split(key, 3)
 
-        if s.virtual_input:
-            base_input = None
-            data = build_data(cfg, s, img, mask, None, self.dtype,
-                              input_key=k_noise)
-        else:
-            base_input = build_base_input(cfg, k_noise, padded, self.dtype)
-            data = build_data(cfg, s, img, mask, base_input, self.dtype)
-        hyper = build_hyper(cfg)
-        carry = init_carry(self.model, s, cfg, k_model, input_shape,
-                           self.outchannel, init_params, self.dtype,
-                           base_input=base_input)
+        with place:
+            if s.virtual_input:
+                base_input = None
+                data = build_data(cfg, s, img, mask, None, self.dtype,
+                                  input_key=k_noise)
+            else:
+                base_input = build_base_input(cfg, k_noise, padded, self.dtype)
+                data = build_data(cfg, s, img, mask, base_input, self.dtype)
+            hyper = build_hyper(cfg)
+            carry = init_carry(self.model, s, cfg, k_model, input_shape,
+                               self.outchannel, init_params, self.dtype,
+                               base_input=base_input)
+        if spatial_mesh is not None:
+            from ..parallel.spatial import shard_solver_state
+            data, carry = shard_solver_state(spatial_mesh, spatial_axis,
+                                             data, carry)
 
         chunk = max(1, min(cfg.scan_chunk, cfg.epochs))
         if save_every:
@@ -655,7 +677,12 @@ class DIPSolver:
         if checkpoint_path and os.path.exists(checkpoint_path):
             from ..io.checkpoint import load_solver_state
             state = np.load(checkpoint_path, allow_pickle=True)
-            carry = load_solver_state(checkpoint_path, carry)
+            with place:
+                carry = load_solver_state(checkpoint_path, carry)
+            if spatial_mesh is not None:  # reload loses the placement
+                from ..parallel.spatial import shard_solver_state
+                _, carry = shard_solver_state(spatial_mesh, spatial_axis,
+                                              {}, carry)
             meta = json.loads(str(state["__meta__"])) if "__meta__" in state \
                 else {}
             start_chunk = int(meta.get("chunk", 0))
@@ -681,7 +708,10 @@ class DIPSolver:
                 carry["done"] = jnp.zeros_like(carry["done"])
 
         for c in range(start_chunk, n_chunks):
-            iters = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
+            # host numpy on purpose: the jit places it on the solve's
+            # backend (an eager jnp.arange would land on the process
+            # default, which differs from a CPU-mesh sharded solve's)
+            iters = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int32)
             if profile_dir and c == 1:
                 with jax.profiler.trace(profile_dir):
                     carry, ys = run_chunk(carry, iters, data, hyper)
@@ -709,16 +739,18 @@ class DIPSolver:
         elapsed = time.time() - start
 
         out_best = np.asarray(jax.device_get(carry["out_best"])[0], np.float32)
-        noise_np = extract_noise_canvas(s, carry, data, base_input, spatial)
-        pocs_np = None
-        if s.pocs:
-            # jitted: the axon TPU relay cannot execute complex FFT ops
-            # EAGERLY (UNIMPLEMENTED); compiled they lower fine
-            proj = _fk_projection_jit(jnp.asarray(out_best)[None],
-                                      data["pocs_wdata"],
-                                      data["pocs_wmask"],
-                                      hyper["pocs_thresh"])
-            pocs_np = np.asarray(jax.device_get(proj)[0], np.float32)
+        with place:
+            noise_np = extract_noise_canvas(s, carry, data, base_input,
+                                            spatial)
+            pocs_np = None
+            if s.pocs:
+                # jitted: the axon TPU relay cannot execute complex FFT ops
+                # EAGERLY (UNIMPLEMENTED); compiled they lower fine
+                proj = _fk_projection_jit(jnp.asarray(out_best)[None],
+                                          data["pocs_wdata"],
+                                          data["pocs_wmask"],
+                                          hyper["pocs_thresh"])
+                pocs_np = np.asarray(jax.device_get(proj)[0], np.float32)
         return SolveResult(out_best=out_best, history=hist,
                            params=carry["params"]["net"], elapsed=elapsed,
                            iters_run=iters_run, stopped_early=stopped,
