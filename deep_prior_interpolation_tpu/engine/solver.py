@@ -566,8 +566,16 @@ class DIPSolver:
     # -- internals -----------------------------------------------------
     def _get_run_chunk(self, s: StepSettings) -> Callable:
         if s not in self._jitted:
-            self._jitted[s] = jax.jit(make_run_chunk(self.model, s),
-                                      donate_argnums=0)
+            # DPI_COMPILER_OPTIONS: JSON dict of per-compile XLA options
+            # (e.g. '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'). Unlike
+            # XLA_FLAGS these travel WITH the compile request, so they
+            # reach a remote TPU compiler (the axon relay rejects TPU
+            # flags in the client-side XLA_FLAGS parser). Perf-tuning
+            # escape hatch; empty (XLA defaults) unless set.
+            opts = os.environ.get("DPI_COMPILER_OPTIONS")
+            self._jitted[s] = jax.jit(
+                make_run_chunk(self.model, s), donate_argnums=0,
+                compiler_options=json.loads(opts) if opts else None)
         return self._jitted[s]
 
     @staticmethod
